@@ -1,0 +1,84 @@
+"""Inverse dynamics.
+
+Reference capability map: mujoco_torch/_src/inverse.py (inverse :24-103 —
+position+velocity stages, discrete-acc undo, constraint force from the
+active-set formula, qfrc_inverse assembly).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mjtpu._src import collision_driver, constraint, forward, math, sensor, smooth, solver, support
+from mjtpu._src.types import Data, DisableBit, EnableBit, IntegratorType, Model
+
+
+def _inv_constraint(m: Model, d: Data) -> Data:
+  """Constraint force from qacc via the dual active-set formula
+  (mj_invConstraint): force = D * (aref - J qacc) with row-type zones."""
+  ne, nf, nl, nefc = support.count_constraints(m)
+  if nefc == 0:
+    return d.replace(
+        qfrc_constraint=jnp.zeros(m.nv, dtype=d.qpos.dtype),
+        efc_force=jnp.zeros(0, dtype=d.qpos.dtype),
+    )
+  meta = solver._efc_meta(m)
+  jaref = d.efc_J @ d.qacc - d.efc_aref
+  mu_rows = jnp.zeros(nefc, dtype=d.qpos.dtype)
+  if meta.elliptic_blocks:
+    addr = collision_driver.contact_efc_address(m, ne, nf, nl)
+    dims = collision_driver.make_condim(m)
+    for c, (a, dim) in enumerate(zip(addr, dims)):
+      if dim > 1:
+        mu_rows = mu_rows.at[int(a)].set(d.contact.friction[c, 0])
+  force, _, _ = solver._row_costs(
+      m, meta, jaref, d.efc_D, d.efc_frictionloss, mu_rows
+  )
+  return d.replace(
+      efc_force=force, qfrc_constraint=d.efc_J.T @ force
+  )
+
+
+def discrete_acc(m: Model, d: Data) -> jax.Array:
+  """Undo the integrator discretization of qacc (mj_invDiscrete semantics)
+  so continuous-time inverse dynamics apply (reference inverse.py)."""
+  qacc = d.qacc
+  if m.opt.integrator == IntegratorType.RK4:
+    raise NotImplementedError("discrete inverse with RK4")
+  if m.opt.integrator == IntegratorType.EULER:
+    if m.has_dof_damping and not (m.opt.disableflags & DisableBit.EULERDAMP):
+      # qacc solves (M + h diag(B)) qacc = qfrc; recover M qacc = qfrc - h B qacc
+      qfrc = d.qM @ qacc + m.opt.timestep * m.dof_damping * qacc
+      qacc = smooth.solve_m(m, d, qfrc)
+  elif m.opt.integrator == IntegratorType.IMPLICITFAST:
+    from mjtpu._src import derivative
+
+    qderiv = derivative.deriv_smooth_vel(m, d)
+    qfrc = d.qM @ qacc - m.opt.timestep * (qderiv @ qacc)
+    qacc = smooth.solve_m(m, d, qfrc)
+  return qacc
+
+
+def inverse(m: Model, d: Data) -> Data:
+  """Inverse dynamics (mj_inverse): given (qpos, qvel, qacc), computes
+  qfrc_inverse = the applied generalized force that would produce qacc."""
+  d = forward.fwd_position(m, d)
+  d = sensor.sensor_pos(m, d)
+  d = forward.fwd_velocity(m, d)
+  d = sensor.sensor_vel(m, d)
+
+  if m.opt.enableflags & EnableBit.INVDISCRETE:
+    d = d.replace(qacc=discrete_acc(m, d))
+
+  d = _inv_constraint(m, d)
+  d = sensor.sensor_acc(m, d)
+
+  qfrc_inverse = (
+      d.qfrc_bias
+      + d.qM @ d.qacc
+      - d.qfrc_passive
+      - d.qfrc_constraint
+  )
+  return d.replace(qfrc_inverse=qfrc_inverse)

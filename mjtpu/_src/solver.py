@@ -1,0 +1,385 @@
+"""Constraint solver: CG (Polak-Ribière) and Newton over the primal cost.
+
+Reference capability map: mujoco_torch/_src/solver.py (solve :244-553,
+linesearch :378-497, frictionloss zones :328-343, warmstart :527-531).
+The data-dependent iteration is a native ``lax.while_loop``; under
+``jax.vmap`` JAX batches it with per-env masked convergence automatically —
+the reference needed a patched while_loop vmap rule for this
+(patches/_pr175526, deleted by design).
+
+The primal problem (MuJoCo Computation docs): minimize over qacc
+    0.5 (qacc - qacc_smooth)' M (qacc - qacc_smooth) + s(J qacc - aref)
+where s() sums per-row penalties: quadratic for equality, huber-style for
+frictionloss rows, one-sided quadratic for limits/contacts (pyramidal), and
+cone-projected quadratic for elliptic contacts.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mjtpu._src import math, smooth, support
+from mjtpu._src.types import ConeType, Data, DisableBit, Model, SolverType
+
+
+class _Context(NamedTuple):
+  qacc: jax.Array       # (nv,)
+  Ma: jax.Array         # (nv,) M @ qacc
+  Jaref: jax.Array      # (nefc,) J @ qacc - aref
+  efc_force: jax.Array  # (nefc,)
+  cost: jax.Array       # ()
+  prev_cost: jax.Array  # ()
+  grad: jax.Array       # (nv,)
+  Mgrad: jax.Array      # (nv,)
+  search: jax.Array     # (nv,)
+  gauss: jax.Array      # ()
+  niter: jax.Array      # () int
+  done: jax.Array       # () bool
+
+
+class _EfcMeta(NamedTuple):
+  """Static row-type structure (host)."""
+
+  ne: int
+  nf: int
+  nl: int
+  nefc: int
+  # elliptic contact blocks: list of (row_start, dim)
+  elliptic_blocks: tuple
+
+
+def _efc_meta(m: Model) -> _EfcMeta:
+  from mjtpu._src import collision_driver
+
+  ne, nf, nl, nefc = support.count_constraints(m)
+  blocks = []
+  if m.opt.cone == ConeType.ELLIPTIC:
+    dims = collision_driver.make_condim(m)
+    addr = collision_driver.contact_efc_address(m, ne, nf, nl)
+    for a, dim in zip(addr, dims):
+      if dim > 1:
+        blocks.append((int(a), int(dim)))
+  return _EfcMeta(ne, nf, nl, nefc, tuple(blocks))
+
+
+def _row_costs(m: Model, meta: _EfcMeta, Jaref, efc_D, efc_frictionloss, mu):
+  """Per-row force / cost / quadratic-active mask given x = Jaref.
+
+  Returns (force, cost_total, quad_active) where quad_active marks rows whose
+  cost is locally quadratic (used for the Newton Hessian).
+  """
+  ne, nf = meta.ne, meta.nf
+  nefc = meta.nefc
+  dtype = Jaref.dtype
+
+  row_idx = np.arange(nefc)
+  is_eq = jnp.asarray(row_idx < ne)
+  is_fric = jnp.asarray((row_idx >= ne) & (row_idx < ne + nf))
+  is_ineq = jnp.asarray(row_idx >= ne + nf)
+
+  # default: quadratic everywhere
+  force = -efc_D * Jaref
+  cost = 0.5 * efc_D * Jaref * Jaref
+  quad = jnp.ones(nefc, dtype=bool)
+
+  # frictionloss rows: linear zones beyond breakpoint R*f
+  if nf:
+    f = efc_frictionloss
+    R = 1.0 / jnp.maximum(math.MINVAL, efc_D)
+    lower = -R * f
+    upper = R * f
+    lin_neg = Jaref <= lower
+    lin_pos = Jaref >= upper
+    f_force = jnp.where(lin_neg, f, jnp.where(lin_pos, -f, -efc_D * Jaref))
+    f_cost = jnp.where(
+        lin_neg,
+        -f * Jaref - 0.5 * R * f * f,
+        jnp.where(lin_pos, f * Jaref - 0.5 * R * f * f, cost),
+    )
+    force = jnp.where(is_fric, f_force, force)
+    cost = jnp.where(is_fric, f_cost, cost)
+    quad = jnp.where(is_fric & (lin_neg | lin_pos), False, quad)
+
+  # inequality rows: active only when x < 0
+  active = Jaref < 0
+  force = jnp.where(is_ineq & ~active, 0.0, force)
+  cost = jnp.where(is_ineq & ~active, 0.0, cost)
+  quad = jnp.where(is_ineq & ~active, False, quad)
+
+  # elliptic cone blocks override their rows
+  for start, dim in meta.elliptic_blocks:
+    n = Jaref[start]
+    u = jax.lax.dynamic_slice(Jaref, (start + 1,), (dim - 1,))
+    d0 = efc_D[start]
+    mu_c = mu[start]
+    t = math.safe_norm(u)
+    # zones: top (inactive), bottom (full quadratic), middle (cone)
+    top = n >= mu_c * t
+    bottom = (mu_c * n + t) <= 0
+    # middle-zone cost: 0.5 * Dm * (n - mu*t)^2 with Dm = D0/(mu^2 (1+mu^2))
+    dm = d0 / jnp.maximum(math.MINVAL, mu_c * mu_c * (1.0 + mu_c * mu_c))
+    nmt = n - mu_c * t
+    mid_cost = 0.5 * dm * nmt * nmt
+    # middle-zone force
+    fn_mid = -dm * nmt
+    ft_scale = jnp.where(t > 0, -fn_mid * mu_c / jnp.maximum(math.MINVAL, t), 0.0)
+    f_mid = jnp.concatenate([fn_mid[None], -ft_scale * u])
+
+    blk = jax.lax.dynamic_slice(Jaref, (start,), (dim,))
+    d_blk = jax.lax.dynamic_slice(efc_D, (start,), (dim,))
+    f_bottom = -d_blk * blk
+    c_bottom = 0.5 * jnp.sum(d_blk * blk * blk)
+
+    f_blk = jnp.where(top, 0.0, jnp.where(bottom, f_bottom, f_mid))
+    c_blk = jnp.where(top, 0.0, jnp.where(bottom, c_bottom, mid_cost))
+    force = jax.lax.dynamic_update_slice(force, f_blk, (start,))
+    # zero this block's default cost contribution, add cone cost separately
+    cost = jax.lax.dynamic_update_slice(cost, jnp.zeros(dim, dtype), (start,))
+    cost = cost.at[start].set(c_blk)
+    quad_blk = jnp.where(bottom, jnp.ones(dim, dtype=bool), jnp.zeros(dim, dtype=bool))
+    quad = jax.lax.dynamic_update_slice(quad, quad_blk, (start,))
+
+  return force, jnp.sum(cost), quad
+
+
+def _linesearch_derivs(m, meta, Jaref, jv, efc_D, efc_frictionloss, mu, alpha, g1, g2):
+  """(phi'(alpha), phi''(alpha)) of the piecewise-quadratic total cost."""
+  ne, nf = meta.ne, meta.nf
+  nefc = meta.nefc
+  x = Jaref + alpha * jv
+
+  row_idx = np.arange(nefc)
+  is_fric = jnp.asarray((row_idx >= ne) & (row_idx < ne + nf))
+  is_ineq = jnp.asarray(row_idx >= ne + nf)
+
+  dquad = efc_D * x * jv
+  ddquad = efc_D * jv * jv
+
+  if nf:
+    f = efc_frictionloss
+    R = 1.0 / jnp.maximum(math.MINVAL, efc_D)
+    lin_neg = x <= -R * f
+    lin_pos = x >= R * f
+    dquad = jnp.where(
+        is_fric & lin_neg, -f * jv, jnp.where(is_fric & lin_pos, f * jv, dquad)
+    )
+    ddquad = jnp.where(is_fric & (lin_neg | lin_pos), 0.0, ddquad)
+
+  inactive = is_ineq & (x >= 0)
+  dquad = jnp.where(inactive, 0.0, dquad)
+  ddquad = jnp.where(inactive, 0.0, ddquad)
+
+  dphi = g1 + 2.0 * g2 * alpha + jnp.sum(dquad)
+  ddphi = 2.0 * g2 + jnp.sum(ddquad)
+
+  # elliptic blocks: replace their rows' contribution with cone derivative
+  for start, dim in meta.elliptic_blocks:
+    blk_x = jax.lax.dynamic_slice(x, (start,), (dim,))
+    blk_jv = jax.lax.dynamic_slice(jv, (start,), (dim,))
+    blk_d = jax.lax.dynamic_slice(efc_D, (start,), (dim,))
+    mu_c = mu[start]
+    n, u = blk_x[0], blk_x[1:]
+    jn, ju = blk_jv[0], blk_jv[1:]
+    t = math.safe_norm(u)
+    top = n >= mu_c * t
+    bottom = (mu_c * n + t) <= 0
+    # remove the default (quadratic one-sided) contribution of these rows
+    blk_active = blk_x < 0
+    dphi = dphi - jnp.sum(jnp.where(blk_active, blk_d * blk_x * blk_jv, 0.0))
+    ddphi = ddphi - jnp.sum(jnp.where(blk_active, blk_d * blk_jv * blk_jv, 0.0))
+    # bottom: full quadratic
+    d_bot = jnp.sum(blk_d * blk_x * blk_jv)
+    dd_bot = jnp.sum(blk_d * blk_jv * blk_jv)
+    # middle: cone cost 0.5*dm*(n - mu t)^2
+    dm = blk_d[0] / jnp.maximum(math.MINVAL, mu_c * mu_c * (1.0 + mu_c * mu_c))
+    tsafe = jnp.maximum(math.MINVAL, t)
+    dt = jnp.dot(u, ju) / tsafe
+    ddt = (jnp.dot(ju, ju) - dt * dt) / tsafe
+    nmt = n - mu_c * t
+    dnmt = jn - mu_c * dt
+    d_mid = dm * nmt * dnmt
+    dd_mid = dm * (dnmt * dnmt - nmt * mu_c * ddt)
+    dphi = dphi + jnp.where(top, 0.0, jnp.where(bottom, d_bot, d_mid))
+    ddphi = ddphi + jnp.where(top, 0.0, jnp.where(bottom, dd_bot, dd_mid))
+
+  return dphi, ddphi
+
+
+def _rescale(m: Model, value):
+  return value / (m.stat.meaninertia * max(1, m.nv))
+
+
+def solve(m: Model, d: Data, fixed_iterations: bool = False) -> Data:
+  """Solves for constrained qacc (mj_fwdConstraint via CG/Newton)."""
+  meta = _efc_meta(m)
+  dtype = d.qpos.dtype
+  nefc = meta.nefc
+
+  efc_J = d.efc_J
+  efc_D = d.efc_D
+  efc_aref = d.efc_aref
+  efc_frictionloss = d.efc_frictionloss
+  qfrc_smooth = d.qfrc_smooth
+  qacc_smooth = d.qacc_smooth
+
+  # per-row mu (contact friction[0]) for elliptic cones
+  mu_rows = jnp.zeros(nefc, dtype=dtype)
+  if meta.elliptic_blocks:
+    from mjtpu._src import collision_driver
+
+    addr = collision_driver.contact_efc_address(m, meta.ne, meta.nf, meta.nl)
+    dims = collision_driver.make_condim(m)
+    for c, (a, dim) in enumerate(zip(addr, dims)):
+      if dim > 1:
+        mu_rows = mu_rows.at[int(a)].set(d.contact.friction[c, 0])
+
+  newton = m.opt.solver == SolverType.NEWTON
+
+  def update_constraint(qacc, Ma, Jaref):
+    force, cost_c, quad = _row_costs(
+        m, meta, Jaref, efc_D, efc_frictionloss, mu_rows
+    )
+    gauss = 0.5 * jnp.dot(Ma - qfrc_smooth, qacc - qacc_smooth)
+    return force, gauss + cost_c, gauss, quad
+
+  def update_gradient(Ma, force, quad):
+    grad = Ma - qfrc_smooth - efc_J.T @ force
+    if newton:
+      h = d.qM + (efc_J.T * (efc_D * quad)) @ efc_J
+      lh = jax.scipy.linalg.cholesky(h, lower=True)
+      mgrad = jax.scipy.linalg.cho_solve((lh, True), grad)
+    else:
+      mgrad = smooth.solve_m(m, d, grad)
+    return grad, mgrad
+
+  def linesearch(qacc, Ma, Jaref, search):
+    mv = d.qM @ search
+    jv = efc_J @ search
+    g1 = jnp.dot(search, Ma - qfrc_smooth)
+    g2 = 0.5 * jnp.dot(search, mv)
+
+    smag = math.safe_norm(search) * m.stat.meaninertia * max(1, m.nv)
+    gtol = m.opt.tolerance * m.opt.ls_tolerance * smag
+
+    derivs = lambda a: _linesearch_derivs(
+        m, meta, Jaref, jv, efc_D, efc_frictionloss, mu_rows, a, g1, g2
+    )
+
+    dp0, ddp0 = derivs(jnp.zeros((), dtype))
+    alpha0 = -dp0 / jnp.maximum(math.MINVAL, ddp0)
+
+    # guarded Newton with expanding bracket on phi'
+    def body(_, carry):
+      lo, hi, alpha, dp, ddp, done = carry
+      newton_a = alpha - dp / jnp.maximum(math.MINVAL, ddp)
+      lo = jnp.where(dp < 0, jnp.maximum(lo, alpha), lo)
+      hi = jnp.where(dp >= 0, jnp.minimum(hi, alpha), hi)
+      # candidate: newton if inside bracket else midpoint / expansion
+      have_hi = jnp.isfinite(hi)
+      mid = jnp.where(have_hi, 0.5 * (lo + hi), 2.0 * jnp.maximum(alpha, 1.0))
+      cand = jnp.where((newton_a > lo) & (newton_a < hi), newton_a, mid)
+      dp_c, ddp_c = derivs(cand)
+      new_done = done | (jnp.abs(dp_c) < gtol)
+      alpha = jnp.where(done, alpha, cand)
+      dp = jnp.where(done, dp, dp_c)
+      ddp = jnp.where(done, ddp, ddp_c)
+      return lo, hi, alpha, dp, ddp, new_done
+
+    init = (
+        jnp.zeros((), dtype),
+        jnp.asarray(jnp.inf, dtype),
+        alpha0,
+        *derivs(alpha0),
+        jnp.zeros((), bool),
+    )
+    _, _, alpha, _, _, _ = jax.lax.fori_loop(0, m.opt.ls_iterations, body, init)
+    return alpha, mv, jv
+
+  def make_ctx(qacc):
+    Ma = d.qM @ qacc
+    Jaref = efc_J @ qacc - efc_aref if nefc else jnp.zeros(0, dtype)
+    force, cost, gauss, quad = update_constraint(qacc, Ma, Jaref)
+    grad, mgrad = update_gradient(Ma, force, quad)
+    return _Context(
+        qacc=qacc,
+        Ma=Ma,
+        Jaref=Jaref,
+        efc_force=force,
+        cost=cost,
+        prev_cost=jnp.asarray(jnp.inf, dtype),
+        grad=grad,
+        Mgrad=mgrad,
+        search=-mgrad,
+        gauss=gauss,
+        niter=jnp.zeros((), jnp.int32),
+        done=jnp.zeros((), bool),
+    )
+
+  # warmstart: take the better of qacc_warmstart and qacc_smooth
+  if m.opt.disableflags & DisableBit.WARMSTART:
+    ctx = make_ctx(qacc_smooth)
+  else:
+    ctx_w = make_ctx(d.qacc_warmstart)
+    ctx_s = make_ctx(qacc_smooth)
+    ctx = jax.tree.map(
+        lambda a, b: jnp.where(ctx_w.cost < ctx_s.cost, a, b), ctx_w, ctx_s
+    )
+
+  def body(ctx: _Context) -> _Context:
+    alpha, mv, jv = linesearch(ctx.qacc, ctx.Ma, ctx.Jaref, ctx.search)
+    qacc = ctx.qacc + alpha * ctx.search
+    Ma = ctx.Ma + alpha * mv
+    Jaref = ctx.Jaref + alpha * jv
+    force, cost, gauss, quad = update_constraint(qacc, Ma, Jaref)
+    grad, mgrad = update_gradient(Ma, force, quad)
+
+    if newton:
+      search = -mgrad
+    else:
+      beta = jnp.dot(grad, mgrad - ctx.Mgrad) / jnp.maximum(
+          math.MINVAL, jnp.dot(ctx.grad, ctx.Mgrad)
+      )
+      beta = jnp.maximum(0.0, beta)
+      search = -mgrad + beta * ctx.search
+
+    improvement = _rescale(m, ctx.cost - cost)
+    gradient = _rescale(m, math.safe_norm(grad))
+    done = ctx.done | (improvement < m.opt.tolerance) | (gradient < m.opt.tolerance)
+
+    new = _Context(
+        qacc=qacc,
+        Ma=Ma,
+        Jaref=Jaref,
+        efc_force=force,
+        cost=cost,
+        prev_cost=ctx.cost,
+        grad=grad,
+        Mgrad=mgrad,
+        search=search,
+        gauss=gauss,
+        niter=ctx.niter + 1,
+        done=done,
+    )
+    # freeze finished envs (also makes fixed_iterations exact)
+    return jax.tree.map(
+        lambda a, b: jnp.where(ctx.done, a, b), ctx, new
+    )
+
+  if fixed_iterations:
+    ctx = jax.lax.fori_loop(0, m.opt.iterations, lambda _, c: body(c), ctx)
+  else:
+    ctx = jax.lax.while_loop(
+        lambda c: (~c.done) & (c.niter < m.opt.iterations), body, ctx
+    )
+
+  qfrc_constraint = efc_J.T @ ctx.efc_force if nefc else jnp.zeros(m.nv, dtype)
+  return d.replace(
+      qacc=ctx.qacc,
+      qacc_warmstart=ctx.qacc,
+      qfrc_constraint=qfrc_constraint,
+      efc_force=ctx.efc_force,
+  )
