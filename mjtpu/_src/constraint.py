@@ -40,7 +40,10 @@ class _Rows(NamedTuple):
 
   J: jax.Array             # (n, nv)
   pos: jax.Array           # (n,) constraint violation (aref input)
+  pos_imp: jax.Array       # (n,) violation magnitude driving the impedance
+                           # (equality blocks use the residual-vector norm)
   pos_out: jax.Array       # (n,) value written to efc_pos
+  bias: jax.Array          # (n,) J̇q̇ acceleration bias (equality rows)
   margin: jax.Array        # (n,)
   invweight: jax.Array     # (n,)
   solref: jax.Array        # (n, 2)
@@ -120,12 +123,66 @@ def _contact_jacobians(m: Model, d: Data):
   return jt, jr, (b1, b2)
 
 
+def _quat_vec_map(u, v):
+  """Matrix A with A @ w == vec(u * (0, w) * v) for quaternions u, v."""
+  u0, uv = u[0], u[1:]
+  v0, vv = v[0], v[1:]
+  eye = jnp.eye(3, dtype=u.dtype)
+  return (
+      -jnp.outer(vv, uv)
+      + (v0 * u0) * eye
+      + v0 * math.cross_skew(uv)
+      - u0 * math.cross_skew(vv)
+      - math.cross_skew(vv) @ math.cross_skew(uv)
+  )
+
+
+def _vel_products(m: Model, d: Data):
+  """(cvel, cacc_bias): com-frame velocities and velocity-product
+  accelerations (no gravity, qacc = 0) — for the equality J̇q̇ bias."""
+  from mjtpu._src import scan, smooth
+
+  d_v = smooth.com_vel(m, d)
+
+  def cacc_fn(carry, cdof_dot, qvel):
+    cacc = jnp.zeros(6, dtype=qvel.dtype) if carry is None else carry
+    return cacc + cdof_dot.T @ qvel
+
+  cacc_bias = scan.body_tree(m, cacc_fn, "vv", "b", d_v.cdof_dot, d.qvel)
+  return d_v.cvel, cacc_bias
+
+
+def _point_acc_bias(m: Model, d: Data, cvel, cacc_bias, p, b: int):
+  """Classical acceleration of body-fixed point p with qacc=0, no gravity."""
+  rc = d.subtree_com[int(m.body_rootid[b])]
+  off = p - rc
+  w = cvel[b, :3]
+  v_p = cvel[b, 3:] - jnp.cross(off, w)
+  a_lin = cacc_bias[b, 3:] - jnp.cross(off, cacc_bias[b, :3])
+  return a_lin + jnp.cross(w, v_p)
+
+
 def _eq_rows(m: Model, d: Data) -> list[_Rows]:
-  """Equality constraint rows, in eq-constraint order."""
+  """Equality constraint rows, in eq-constraint order.
+
+  aref for equality rows includes the -J̇q̇ bias so the row prescribes the
+  true residual acceleration (matches MuJoCo C; the KBI spring-damper alone
+  reproduces neither efc_aref nor trajectories)."""
   dtype = d.qpos.dtype
   rows = []
+  if not m.neq:
+    return rows
+
+  eq_types = [int(t) for t in m.eq_type]
+  need_vp = any(t in (EqType.CONNECT, EqType.WELD) for t in eq_types)
+  if need_vp:
+    cvel, cacc_bias = _vel_products(m, d)
+
+  def P(w):
+    return jnp.concatenate([jnp.zeros(1, dtype), w])
+
   for e in range(m.neq):
-    etype = EqType(int(m.eq_type[e]))
+    etype = EqType(eq_types[e])
     active = d.eq_active[e].astype(dtype)
     data = m.eq_data[e]
     solref = jnp.broadcast_to(m.eq_solref[e], (1, 2))
@@ -140,12 +197,17 @@ def _eq_rows(m: Model, d: Data) -> list[_Rows]:
       jacp1, _ = support.jac(m, d, pos1, b1)
       jacp2, _ = support.jac(m, d, pos2, b2)
       j = (jacp1 - jacp2).T * active  # (3, nv)
+      bias = _point_acc_bias(m, d, cvel, cacc_bias, pos1, b1) - _point_acc_bias(
+          m, d, cvel, cacc_bias, pos2, b2
+      )
       invw = m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0]
       rows.append(
           _Rows(
               J=j,
               pos=cpos * active,
+              pos_imp=jnp.full((3,), math.safe_norm(cpos), dtype),
               pos_out=cpos * active,
+              bias=bias * active,
               margin=jnp.zeros(3, dtype),
               invweight=jnp.full((3,), invw, dtype),
               solref=jnp.broadcast_to(solref, (3, 2)),
@@ -155,46 +217,46 @@ def _eq_rows(m: Model, d: Data) -> list[_Rows]:
       )
     elif etype == EqType.WELD:
       b1, b2 = int(m.eq_obj1id[e]), int(m.eq_obj2id[e])
-      anchor1, anchor2 = data[0:3], data[3:6]
-      relpose, torquescale = data[6:10], data[10]
-      # translational part: b1's anchor2? MuJoCo: anchor1 on body1 maps to
-      # anchor2 on body2 — positions tied
+      # weld data layout: [anchor in body2 (3), anchor in body1 (3),
+      # relpose quat (4), torquescale (1)]
+      anchor2, anchor1 = data[0:3], data[3:6]
+      relpose = data[6:10]
+      torquescale = data[10]
+
       pos1 = d.xmat[b1] @ anchor1 + d.xpos[b1]
       pos2 = d.xmat[b2] @ anchor2 + d.xpos[b2]
       cpos = pos1 - pos2
       jacp1, jacr1 = support.jac(m, d, pos1, b1)
       jacp2, jacr2 = support.jac(m, d, pos2, b2)
       jp = (jacp1 - jacp2).T  # (3, nv)
-      jr_full = (jacr1 - jacr2).T  # (3, nv)
+      bias_p = _point_acc_bias(m, d, cvel, cacc_bias, pos1, b1) - _point_acc_bias(
+          m, d, cvel, cacc_bias, pos2, b2
+      )
 
-      # rotational part: quat error between body frames through relpose
-      q1 = d.xquat[b1]
-      q2 = d.xquat[b2]
-      quat = math.quat_mul(q1, relpose)
-      quat1 = math.quat_inv(quat)
-      crot = math.quat_sub(q2, math.quat_inv(quat1))  # placeholder, fixed below
+      # rotational residual: r = ts * vec(q2^-1 * (q1 * relpose))
+      q1r = math.quat_mul(d.xquat[b1], relpose)
+      u = math.quat_inv(d.xquat[b2])
+      v = q1r
+      q_err = math.quat_mul(u, v)
+      crot = q_err[1:] * torquescale
+      # dr/dt = ts/2 * A (w1 - w2): rows of the rotational jacobian
+      amat = _quat_vec_map(u, v)
+      jr = (0.5 * torquescale) * (amat @ (jacr1 - jacr2).T)  # (3, nv)
+      # velocity-product bias of the rotational residual
+      w1 = cvel[b1, :3]
+      w2 = cvel[b2, :3]
+      dw = w1 - w2
+      dwb = cacc_bias[b1, :3] - cacc_bias[b2, :3]
+      qdd = 0.5 * (
+          math.quat_mul(u, math.quat_mul(P(dwb), v))
+          + 0.5 * math.quat_mul(u, math.quat_mul(P(dw), math.quat_mul(P(w1), v)))
+          - 0.5 * math.quat_mul(u, math.quat_mul(P(w2), math.quat_mul(P(dw), v)))
+      )
+      bias_r = torquescale * qdd[1:]
 
-      # mj: error = subQuat(q2 * relpose^-1? ...) — use: qdif = neg(quat) * q2
-      qdif = math.quat_mul(quat1, q2)
-      crot_v = qdif[1:] * torquescale  # small-angle rotational residual
-
-      # rotational jacobian: 0.5 * torquescale * Deriv * jr
-      # Deriv maps world angvel difference to qdif vector part derivative
-      mat = jnp.array([
-          [-qdif[1], qdif[0], qdif[3], -qdif[2]],
-          [-qdif[2], -qdif[3], qdif[0], qdif[1]],
-          [-qdif[3], qdif[2], -qdif[1], qdif[0]],
-      ], dtype=dtype)  # d(vec part)/d small rotation
-      # world angvel -> qdif rate: dqdif = 0.5 * quat1 * (0,w) * q2 ...
-      # project jr through quat frames
-      def rotate_rows(j, q):
-        return jax.vmap(lambda v: math.rotate_inv(v, q))(j.T).T
-
-      jr_local = rotate_rows(jr_full, quat)  # express in quat frame
-      jrot = 0.5 * jr_local * torquescale
-
-      j6 = jnp.concatenate([jp, jrot]) * active
-      cpos6 = jnp.concatenate([cpos, crot_v]) * active
+      j6 = jnp.concatenate([jp, jr]) * active
+      cpos6 = jnp.concatenate([cpos, crot]) * active
+      bias6 = jnp.concatenate([bias_p, bias_r]) * active
       invw_t = m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0]
       invw_r = m.body_invweight0[b1, 1] + m.body_invweight0[b2, 1]
       invw6 = jnp.concatenate([
@@ -204,7 +266,9 @@ def _eq_rows(m: Model, d: Data) -> list[_Rows]:
           _Rows(
               J=j6,
               pos=cpos6,
+              pos_imp=jnp.full((6,), math.safe_norm(cpos6), dtype),
               pos_out=cpos6,
+              bias=bias6,
               margin=jnp.zeros(6, dtype),
               invweight=invw6,
               solref=jnp.broadcast_to(solref, (6, 2)),
@@ -220,14 +284,24 @@ def _eq_rows(m: Model, d: Data) -> list[_Rows]:
       if j2 > -1:
         q2adr, d2adr = int(m.jnt_qposadr[j2]), int(m.jnt_dofadr[j2])
         dif = d.qpos[q2adr] - m.qpos0[q2adr]
+        vel2 = d.qvel[d2adr]
       else:
         dif = jnp.zeros((), dtype)
-      # polynomial coupling
+        vel2 = jnp.zeros((), dtype)
+      # polynomial coupling and its derivatives
       pows = dif ** jnp.arange(5, dtype=dtype)
       cpos = pos1 - jnp.dot(data[:5], pows)
       deriv = jnp.dot(
-          data[1:5], jnp.arange(1, 5, dtype=dtype) * (dif ** jnp.arange(4, dtype=dtype))
+          data[1:5],
+          jnp.arange(1, 5, dtype=dtype) * (dif ** jnp.arange(4, dtype=dtype)),
       )
+      deriv2 = jnp.dot(
+          data[2:5],
+          jnp.array([2.0, 6.0, 12.0], dtype=dtype)
+          * (dif ** jnp.arange(3, dtype=dtype)),
+      )
+      # joint equality has no J̇q̇ term in MuJoCo's aref (oracle-verified)
+      bias = jnp.zeros((), dtype)
       j = jnp.zeros((1, m.nv), dtype).at[0, d1adr].set(1.0)
       if j2 > -1:
         j = j.at[0, d2adr].set(-deriv)
@@ -239,7 +313,9 @@ def _eq_rows(m: Model, d: Data) -> list[_Rows]:
           _Rows(
               J=j,
               pos=cpos[None] * active,
+              pos_imp=jnp.abs(cpos)[None],
               pos_out=cpos[None] * active,
+              bias=bias[None] * active,
               margin=jnp.zeros(1, dtype),
               invweight=invw[None],
               solref=solref,
@@ -262,7 +338,9 @@ def _friction_rows(m: Model, d: Data) -> list[_Rows]:
         _Rows(
             J=j,
             pos=jnp.zeros(len(dofs), dtype),
+            pos_imp=jnp.zeros(len(dofs), dtype),
             pos_out=jnp.zeros(len(dofs), dtype),
+            bias=jnp.zeros(len(dofs), dtype),
             margin=jnp.zeros(len(dofs), dtype),
             invweight=m.dof_invweight0[dofs],
             solref=m.dof_solref[dofs],
@@ -276,7 +354,9 @@ def _friction_rows(m: Model, d: Data) -> list[_Rows]:
         _Rows(
             J=d.ten_J[tens],
             pos=jnp.zeros(len(tens), dtype),
+            pos_imp=jnp.zeros(len(tens), dtype),
             pos_out=jnp.zeros(len(tens), dtype),
+            bias=jnp.zeros(len(tens), dtype),
             margin=jnp.zeros(len(tens), dtype),
             invweight=m.tendon_invweight0[tens],
             solref=m.tendon_solref_fri[tens],
@@ -318,7 +398,9 @@ def _limit_rows(m: Model, d: Data) -> list[_Rows]:
         _Rows(
             J=jrow,
             pos=pos[None],
+            pos_imp=pos[None],
             pos_out=pos[None],
+            bias=jnp.zeros(1, dtype),
             margin=jnp.full((1,), margin, dtype),
             invweight=m.dof_invweight0[dadr][None],
             solref=m.jnt_solref[j][None],
@@ -338,7 +420,9 @@ def _limit_rows(m: Model, d: Data) -> list[_Rows]:
         _Rows(
             J=(side * active) * d.ten_J[t][None],
             pos=pos[None],
+            pos_imp=pos[None],
             pos_out=pos[None],
+            bias=jnp.zeros(1, dtype),
             margin=margin[None],
             invweight=m.tendon_invweight0[t][None],
             solref=m.tendon_solref_lim[t][None],
@@ -428,7 +512,9 @@ def _contact_rows(m: Model, d: Data) -> list[_Rows]:
         _Rows(
             J=j,
             pos=pos_rows,
+            pos_imp=jnp.full((n,), pos, dtype),
             pos_out=jnp.full((n,), pos, dtype),
+            bias=jnp.zeros(n, dtype),
             margin=jnp.full((n,), con.includemargin[c], dtype),
             invweight=invw,
             solref=sr,
@@ -467,6 +553,7 @@ def make_constraint(m: Model, d: Data) -> Data:
 
   J = jnp.concatenate([r.J for r in rows])
   pos = jnp.concatenate([r.pos for r in rows])
+  pos_imp = jnp.concatenate([r.pos_imp for r in rows])
   pos_out = jnp.concatenate([r.pos_out for r in rows])
   margin = jnp.concatenate([r.margin for r in rows])
   invweight = jnp.concatenate([r.invweight for r in rows])
@@ -474,9 +561,10 @@ def make_constraint(m: Model, d: Data) -> Data:
   solimp = jnp.concatenate([r.solimp for r in rows])
   frictionloss = jnp.concatenate([r.frictionloss for r in rows])
 
-  k, b, imp = _kbi(m, solref, solimp, pos)
+  bias = jnp.concatenate([r.bias for r in rows])
+  k, b, imp = _kbi(m, solref, solimp, pos_imp)
   jv = J @ d.qvel
-  aref = -b * jv - k * imp * pos
+  aref = -b * jv - k * imp * pos - bias
   R = jnp.maximum(math.MINVAL, invweight * (1.0 - imp) / jnp.maximum(math.MINVAL, imp))
   D = 1.0 / R
 

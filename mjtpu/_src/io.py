@@ -82,7 +82,7 @@ def _validate(m: mujoco.MjModel) -> None:
 
 
 def _option(o: mujoco.MjOption, dtype) -> Option:
-  f = lambda x: jnp.asarray(x, dtype=dtype)
+  f = lambda x: jnp.asarray(np.array(x), dtype=dtype)
   has_fluid = (o.density > 0) or (o.viscosity > 0) or np.any(o.wind)
   return Option(
       timestep=f(o.timestep),
@@ -116,8 +116,10 @@ def put_model(m: mujoco.MjModel, dtype=None, _full_compat: bool = False) -> Mode
   _validate(m)
   dtype = dtype or jnp.zeros(0).dtype
 
-  f = lambda x: jnp.asarray(x, dtype=dtype)        # float arrays (traced)
-  i = lambda x: np.array(x)                        # static numpy copies
+  # note: np.array copies first — jnp.asarray can zero-copy alias live
+  # MjModel buffers on the CPU backend
+  f = lambda x: jnp.asarray(np.array(x), dtype=dtype)  # float arrays (traced)
+  i = lambda x: np.array(x)                            # static numpy copies
 
   fields: dict = dict(
       nq=m.nq, nv=m.nv, nu=m.nu, na=m.na, nbody=m.nbody, njnt=m.njnt,

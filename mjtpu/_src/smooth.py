@@ -592,7 +592,6 @@ def rne_postconstraint(m: Model, d: Data) -> Data:
     return frc if carry is None else frc + carry
 
   cfrc_int = scan.body_tree(m, acc_fn, "b", "b", loc_frc, reverse=True)
-  cfrc_int = cfrc_int.at[0].set(0.0)
 
   return d.replace(cacc=cacc, cfrc_int=cfrc_int, cfrc_ext=cfrc_ext)
 

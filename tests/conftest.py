@@ -1,0 +1,33 @@
+"""Test configuration: parity tests run float64 on the CPU backend
+(SURVEY.md §4 port implication — TPU runs are f32/bf16 throughput runs).
+A virtual 8-device CPU mesh backs the sharding tests."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+  os.environ["XLA_FLAGS"] = (
+      flags + " --xla_force_host_platform_device_count=8"
+  ).strip()
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import pathlib
+
+import mujoco
+import numpy as np
+import pytest
+
+MODEL_DIR = pathlib.Path(__file__).parent / "models"
+
+
+def load_mj(name: str) -> mujoco.MjModel:
+  return mujoco.MjModel.from_xml_path(str(MODEL_DIR / name))
+
+
+@pytest.fixture
+def rng():
+  return np.random.default_rng(0)

@@ -1,0 +1,102 @@
+"""Trajectory parity vs MuJoCo C (the reference's mjx_correctness oracle:
+100-step trajectories at float64, reference test/mjx_correctness_test.py:200-383)."""
+
+import jax
+import jax.numpy as jnp
+import mujoco
+import numpy as np
+import pytest
+
+import mjtpu
+from tests.conftest import load_mj
+
+SMOOTH_MODELS = [
+    "pendulum.xml",
+    "cartpole.xml",
+    "ball_free.xml",
+    "pendulum_rk4.xml",
+    "pendulum_implicit.xml",
+    "friction_tendon.xml",
+    "equality.xml",
+    "weld.xml",
+]
+
+
+def run_traj(name, nsteps=100, tol=5e-9, ctrl=False, seed=0, kick=0.1):
+  mjm = load_mj(name)
+  mjd = mujoco.MjData(mjm)
+  rng = np.random.default_rng(seed)
+  mjd.qpos[:] = mjm.qpos0 + rng.uniform(-kick, kick, mjm.nq)
+  mjd.qvel[:] = rng.uniform(-kick, kick, mjm.nv)
+  m = mjtpu.put_model(mjm)
+  d = mjtpu.make_data(m)
+  d = d.replace(
+      qpos=jnp.asarray(np.array(mjd.qpos)), qvel=jnp.asarray(np.array(mjd.qvel))
+  )
+  step = jax.jit(mjtpu.step)
+  worst = 0.0
+  for i in range(nsteps):
+    if ctrl and mjm.nu:
+      c = rng.uniform(-1, 1, mjm.nu)
+      mjd.ctrl[:] = c
+      d = d.replace(ctrl=jnp.asarray(np.array(c)))
+    mujoco.mj_step(mjm, mjd)
+    d = step(m, d)
+    err = max(
+        np.abs(np.asarray(d.qpos) - mjd.qpos).max(),
+        np.abs(np.asarray(d.qvel) - mjd.qvel).max(),
+    )
+    worst = max(worst, err)
+    assert err < tol, f"{name} diverged at step {i}: {err:.3e}"
+  return worst
+
+
+@pytest.mark.parametrize("name", SMOOTH_MODELS)
+def test_trajectory(name):
+  run_traj(name)
+
+
+@pytest.mark.parametrize("name", ["cartpole.xml", "friction_tendon.xml"])
+def test_trajectory_ctrl(name):
+  run_traj(name, ctrl=True)
+
+
+def test_vmap_batch_matches_single():
+  """vmap(step) env 0 == single-env step (reference vmap parity tests)."""
+  mjm = load_mj("cartpole.xml")
+  m = mjtpu.put_model(mjm)
+  d = mjtpu.make_data(m)
+  rng = np.random.default_rng(3)
+  qpos = jnp.asarray(rng.uniform(-0.1, 0.1, (8, mjm.nq)))
+  qvel = jnp.asarray(rng.uniform(-0.1, 0.1, (8, mjm.nv)))
+  batch = jax.vmap(lambda q, v: mjtpu.make_data(m).replace(qpos=q, qvel=v))(
+      qpos, qvel
+  )
+  stepped = jax.jit(jax.vmap(mjtpu.step, in_axes=(None, 0)))(m, batch)
+  single = jax.jit(mjtpu.step)(m, jax.tree.map(lambda x: x[0], batch))
+  np.testing.assert_allclose(
+      np.asarray(stepped.qpos[0]), np.asarray(single.qpos), atol=1e-12
+  )
+
+
+def test_nan_recovery():
+  """_check_state resets non-finite states (reference forward.py:44-59)."""
+  mjm = load_mj("pendulum.xml")
+  m = mjtpu.put_model(mjm)
+  d = mjtpu.make_data(m)
+  d = d.replace(qpos=jnp.full_like(d.qpos, jnp.nan))
+  d = jax.jit(mjtpu.step)(m, d)
+  assert np.isfinite(np.asarray(d.qpos)).all()
+
+
+def test_no_retrace():
+  """jit(step) must not retrace across calls with fresh Data (the JAX analog
+  of the reference's recompile guard, compile_recompile_integration_test)."""
+  mjm = load_mj("cartpole.xml")
+  m = mjtpu.put_model(mjm)
+  step = jax.jit(lambda m_, d_: mjtpu.step(m_, d_))  # fresh jit cache
+  for i in range(3):
+    d = mjtpu.make_data(m)
+    d = d.replace(qpos=d.qpos + 0.01 * i)
+    d = step(m, d)
+  assert step._cache_size() == 1
