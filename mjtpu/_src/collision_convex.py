@@ -1,0 +1,364 @@
+"""Convex narrowphase collisions (plane/sphere/capsule/convex vs convex hull).
+
+Reference capability map: mujoco_torch/_src/collision_convex.py (plane/convex
+top-4 deepest verts :604-623, sphere/convex closest-face point :626-699,
+capsule/convex segment clipping :702-802, convex/convex SAT with edge axes +
+face manifold clipping :330-601).
+
+TPU design: hull combinatorics (vertex/face/edge tables) are trace-time
+constants closed over per candidate group (hulls with identical shape share
+one vmapped kernel); all clipping uses fixed-size masked buffers so shapes
+are static.  Functions take world poses/sizes and return
+(dist (n,), pos (n,3), frame (n,3,3)), normal from geom1 into geom2.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mjtpu._src import math
+from mjtpu._src.types import ConvexMesh
+
+# small preference for face axes over edge axes (numerical-tie stability)
+_EDGE_TOL = 1e-10
+
+
+def _hull_consts(hull: ConvexMesh, dtype):
+  vert = jnp.asarray(hull.vert, dtype=dtype)
+  face_vert = jnp.asarray(hull.vert[hull.face], dtype=dtype)  # (nf, mfv, 3)
+  face_normal = jnp.asarray(hull.face_normal, dtype=dtype)
+  edge_v = jnp.asarray(hull.vert[hull.edge], dtype=dtype)  # (ne, 2, 3)
+  return vert, face_vert, face_normal, edge_v
+
+
+def plane_convex(pos1, mat1, size1, pos2, mat2, size2, hull2: ConvexMesh):
+  """Plane vs convex hull: contacts at the 4 deepest vertices."""
+  dtype = pos1.dtype
+  n = mat1[:, 2]
+  vert = pos2 + jnp.asarray(hull2.vert, dtype=dtype) @ mat2.T  # (nv, 3)
+  support = (vert - pos1) @ n  # signed height above plane
+  # 4 lowest (deepest) vertices
+  idx = jnp.argsort(support)[:4]
+  dist = support[idx]
+  pos = vert[idx] - 0.5 * dist[:, None] * n[None, :]
+  frame = jnp.broadcast_to(math.make_frame(n), (4, 3, 3))
+  return dist, pos, frame
+
+
+def _closest_on_face(face_verts, n, p):
+  """Closest point to p on the polygon (face_verts (mfv,3), normal n).
+
+  p is assumed on (or near) the face plane."""
+  mfv = face_verts.shape[0]
+  a = face_verts
+  b = jnp.roll(face_verts, -1, axis=0)
+  t = b - a
+  # interior is to the left of each CCW edge: outside if (p-a)·(t x n) > 0
+  edge_out = jnp.cross(t, jnp.broadcast_to(n, t.shape))
+  outside = jnp.einsum("kd,kd->k", p[None, :] - a, edge_out) > 0
+  inside_all = ~jnp.any(outside)
+  # closest point on each edge segment
+  seg_pts = jax.vmap(math.closest_segment_point, in_axes=(0, 0, None))(a, b, p)
+  d2 = jnp.sum((seg_pts - p[None, :]) ** 2, axis=1)
+  best = seg_pts[jnp.argmin(d2)]
+  return jnp.where(inside_all, p, best)
+
+
+def sphere_convex(pos1, mat1, size1, pos2, mat2, size2, hull2: ConvexMesh):
+  """Sphere vs convex hull (closest face/edge point)."""
+  dtype = pos1.dtype
+  r = size1[0]
+  _, face_vert, face_normal, _ = _hull_consts(hull2, dtype)
+
+  c = mat2.T @ (pos1 - pos2)  # sphere center in hull frame
+
+  # deepest face: max signed distance of c over face planes
+  d_f = jnp.einsum("fd,fd->f", face_normal, c[None, :] - face_vert[:, 0])
+  f = jnp.argmax(d_f)
+  sep = d_f[f]
+  nf = face_normal[f]
+  inside = sep < 0
+
+  # closest point on that face's polygon to the projected center
+  p_plane = c - sep * nf
+  closest = _closest_on_face(face_vert[f], nf, p_plane)
+
+  to_closest = closest - c
+  dir_out, dist_c = math.normalize_with_norm(to_closest)
+  # outside: normal sphere->hull along to_closest; inside: push out along -nf
+  n_local = jnp.where(inside, nf, dir_out)
+  dist = jnp.where(inside, sep, dist_c) - r
+
+  n_world = mat2 @ n_local
+  pos = pos1 + n_world * (r + 0.5 * dist)
+  return dist[None], pos[None], math.make_frame(n_world)[None]
+
+
+def capsule_convex(pos1, mat1, size1, pos2, mat2, size2, hull2: ConvexMesh):
+  """Capsule vs convex hull: reference-face SAT + segment clipping (2 pts)."""
+  dtype = pos1.dtype
+  r, h = size1[0], size1[1]
+  _, face_vert, face_normal, edge_v = _hull_consts(hull2, dtype)
+
+  # capsule segment in hull local frame
+  axis_l = mat2.T @ mat1[:, 2]
+  cen = mat2.T @ (pos1 - pos2)
+  a = cen - h * axis_l
+  b = cen + h * axis_l
+
+  # face SAT: separation of the segment behind each face
+  da = jnp.einsum("fd,fd->f", face_normal, a[None, :] - face_vert[:, 0])
+  db = jnp.einsum("fd,fd->f", face_normal, b[None, :] - face_vert[:, 0])
+  sep_face = jnp.minimum(da, db)
+  f = jnp.argmax(sep_face)
+  nf = face_normal[f]
+  fv = face_vert[f]
+
+  # edge check: closest point between segment and every hull edge
+  seg_a, seg_b = jax.vmap(
+      math.closest_segment_to_segment_points, in_axes=(None, None, 0, 0)
+  )(a, b, edge_v[:, 0], edge_v[:, 1])
+  edge_d2 = jnp.sum((seg_a - seg_b) ** 2, axis=1)
+  e = jnp.argmin(edge_d2)
+  # is the closest edge point outside the hull surface near that edge?
+  e_pt_on_hull = seg_b[e]
+  e_pt_on_seg = seg_a[e]
+  e_dir, e_dist = math.normalize_with_norm(e_pt_on_hull - e_pt_on_seg)
+
+  # face path: clip segment onto the face's side planes
+  mfv = fv.shape[0]
+  t_lo, t_hi = jnp.zeros((), dtype), jnp.ones((), dtype)
+  ab = b - a
+  for k in range(mfv):
+    p0 = fv[k]
+    p1 = fv[(k + 1) % mfv]
+    edge_out = jnp.cross(p1 - p0, nf)  # outward side-plane normal
+    num = jnp.dot(p0 - a, edge_out)
+    den = jnp.dot(ab, edge_out)
+    t_cross = num / jnp.where(jnp.abs(den) < 1e-12, 1e-12, den)
+    entering = den < 0  # moving inside
+    t_lo = jnp.where(entering, jnp.maximum(t_lo, t_cross), t_lo)
+    t_hi = jnp.where(~entering, jnp.minimum(t_hi, t_cross), t_hi)
+  # degenerate clip (segment outside footprint): collapse to closest approach
+  bad = t_lo > t_hi
+  t_mid = jnp.clip(0.5 * (t_lo + t_hi), 0.0, 1.0)
+  t_lo = jnp.where(bad, t_mid, jnp.clip(t_lo, 0.0, 1.0))
+  t_hi = jnp.where(bad, t_mid, jnp.clip(t_hi, 0.0, 1.0))
+
+  dists, poss, frames = [], [], []
+  for t in (t_lo, t_hi):
+    p_seg = a + t * ab
+    d_face = jnp.dot(nf, p_seg - fv[0]) - r
+    n_local = -nf  # contact normal points from capsule (geom1) into hull
+    # if the clip collapsed (segment beyond the footprint), use closest edge
+    p_seg_e = e_pt_on_seg
+    d_edge = e_dist - r
+    n_edge = e_dir
+    p_use = jnp.where(bad, p_seg_e, p_seg)
+    d_use = jnp.where(bad, d_edge, d_face)
+    n_use = jnp.where(bad, n_edge, n_local)
+    n_world = mat2 @ n_use
+    p_world = pos2 + mat2 @ p_use  # axis point; surface is r along the normal
+    pos_c = p_world + n_world * (r + 0.5 * d_use)
+    dists.append(d_use)
+    poss.append(pos_c)
+    frames.append(math.make_frame(n_world))
+  return jnp.stack(dists), jnp.stack(poss), jnp.stack(frames)
+
+
+def _manifold_points(pts, mask, depth, n, dtype):
+  """Selects up to 4 well-spread valid points (reference :183-235).
+
+  Returns (idx (4,), dup (4,) bool) — dup marks slots that would repeat an
+  already-selected (or spatially coincident) point; callers deactivate them
+  so duplicate constraint rows never double contact forces."""
+  big_neg = jnp.asarray(-1e10, dtype)
+
+  def exclude_near(score, chosen_pts):
+    for cp in chosen_pts:
+      near = jnp.sum((pts - cp[None, :]) ** 2, axis=1) < 1e-12
+      score = jnp.where(near, big_neg, score)
+    return score
+
+  score0 = jnp.where(mask, -depth, big_neg)  # deepest first
+  i0 = jnp.argmax(score0)
+  p0 = pts[i0]
+
+  d1 = jnp.where(mask, jnp.sum((pts - p0) ** 2, axis=1), big_neg)
+  d1 = exclude_near(d1, [p0])
+  i1 = jnp.argmax(d1)
+  p1 = pts[i1]
+  dup1 = d1[i1] <= 0
+
+  cr = jnp.cross(pts - p0, p1[None, :] - p0)
+  area = jnp.einsum("kd,d->k", cr, n)
+  s2 = exclude_near(jnp.where(mask, jnp.abs(area), big_neg), [p0, p1])
+  i2 = jnp.argmax(s2)
+  p2 = pts[i2]
+  dup2 = s2[i2] <= 1e-12
+
+  cr2 = jnp.cross(pts - p0, p2[None, :] - p0)
+  area2 = jnp.einsum("kd,d->k", cr2, n)
+  sign = jnp.sign(area[i2])
+  s3 = exclude_near(jnp.where(mask, -sign * area2, big_neg), [p0, p1, p2])
+  i3 = jnp.argmax(s3)
+  dup3 = s3[i3] <= 1e-12
+
+  idx = jnp.stack([i0, i1, i2, i3])
+  dup = jnp.stack([jnp.zeros((), bool), dup1, dup2, dup3])
+  return idx, dup
+
+
+def convex_convex(
+    pos1, mat1, size1, pos2, mat2, size2, hull1: ConvexMesh, hull2: ConvexMesh
+):
+  """Full SAT hull-hull with face manifold clipping + edge-edge axes."""
+  dtype = pos1.dtype
+  v1, fv1, fn1, ev1 = _hull_consts(hull1, dtype)
+  v2, fv2, fn2, ev2 = _hull_consts(hull2, dtype)
+
+  # world-frame geometry
+  w1 = pos1 + v1 @ mat1.T
+  w2 = pos2 + v2 @ mat2.T
+  n1 = fn1 @ mat1.T
+  n2 = fn2 @ mat2.T
+  f1 = pos1 + jnp.einsum("fkd,xd->fkx", fv1, mat1)
+  f2 = pos2 + jnp.einsum("fkd,xd->fkx", fv2, mat2)
+
+  # --- face axes of hull1: separation of hull2 behind each face ---
+  off1 = jnp.einsum("fd,fd->f", n1, f1[:, 0])
+  sep1 = jnp.min(w2 @ n1.T, axis=0) - off1  # (nf1,)
+  bf1 = jnp.argmax(sep1)
+
+  # --- face axes of hull2 ---
+  off2 = jnp.einsum("fd,fd->f", n2, f2[:, 0])
+  sep2 = jnp.min(w1 @ n2.T, axis=0) - off2
+  bf2 = jnp.argmax(sep2)
+
+  # --- edge-edge axes ---
+  e1a = pos1 + ev1[:, 0] @ mat1.T
+  e1b = pos1 + ev1[:, 1] @ mat1.T
+  e2a = pos2 + ev2[:, 0] @ mat2.T
+  e2b = pos2 + ev2[:, 1] @ mat2.T
+  d1 = e1b - e1a  # (ne1, 3)
+  d2 = e2b - e2a  # (ne2, 3)
+  axes = jnp.cross(d1[:, None, :], d2[None, :, :])  # (ne1, ne2, 3)
+  axes_n = math.safe_norm(axes, axis=2)
+  axes = axes / jnp.maximum(1e-12, axes_n)[..., None]
+  # orient from hull1 to hull2
+  c1 = jnp.mean(w1, axis=0)
+  c2 = jnp.mean(w2, axis=0)
+  orient = jnp.einsum("eft,t->ef", axes, c2 - c1)
+  axes = axes * jnp.sign(orient)[..., None]
+  # separation along each axis: min proj2 - max proj1
+  proj1 = jnp.einsum("vd,efd->efv", w1, axes)
+  proj2 = jnp.einsum("vd,efd->efv", w2, axes)
+  sep_e = jnp.min(proj2, axis=2) - jnp.max(proj1, axis=2)
+  sep_e = jnp.where(axes_n < 1e-6, -jnp.inf, sep_e)
+  sep_e_flat = sep_e.reshape(-1)
+  be = jnp.argmax(sep_e_flat)
+  best_edge_sep = sep_e_flat[be]
+  be1, be2 = be // sep_e.shape[1], be % sep_e.shape[1]
+
+  best_face_sep = jnp.maximum(sep1[bf1], sep2[bf2])
+  use_edge = best_edge_sep > best_face_sep + _EDGE_TOL
+
+  # --- edge-edge contact ---
+  pa, pb = math.closest_segment_to_segment_points(
+      e1a[be1], e1b[be1], e2a[be2], e2b[be2]
+  )
+  n_edge, _ = math.normalize_with_norm(pb - pa)
+  n_edge = jnp.where(
+      jnp.dot(n_edge, c2 - c1) < 0, -n_edge, n_edge
+  )
+  edge_dist = jnp.dot(pb - pa, n_edge)
+  edge_pos = 0.5 * (pa + pb)
+
+  # --- face-face manifold: reference face on the hull with larger sep ---
+  ref_is_1 = sep1[bf1] >= sep2[bf2]
+
+  def manifold(ref_face_verts, ref_n, inc_faces, inc_normals):
+    """Clip incident face (most anti-parallel) against ref side planes."""
+    inc_i = jnp.argmin(inc_normals @ ref_n)
+    inc = inc_faces[inc_i]  # (mfv_i, 3)
+    mfv_r = ref_face_verts.shape[0]
+    mfv_i = inc.shape[0]
+
+    ra = ref_face_verts
+    rb = jnp.roll(ref_face_verts, -1, axis=0)
+    side_n = jnp.cross(rb - ra, jnp.broadcast_to(ref_n, ra.shape))  # outward
+
+    def inside_ref(p):
+      return jnp.all(jnp.einsum("kd,kd->k", p[None] - ra, side_n) <= 1e-10)
+
+    cands, mask = [], []
+    # (a) incident verts inside all side planes
+    for k in range(mfv_i):
+      cands.append(inc[k])
+      mask.append(inside_ref(inc[k]))
+    # (b) incident edge x side plane intersections
+    for k in range(mfv_i):
+      p0, p1 = inc[k], inc[(k + 1) % mfv_i]
+      for s in range(mfv_r):
+        den = jnp.dot(p1 - p0, side_n[s])
+        t = jnp.dot(ra[s] - p0, side_n[s]) / jnp.where(
+            jnp.abs(den) < 1e-12, 1e-12, den
+        )
+        p = p0 + t * (p1 - p0)
+        ok = (t > 0) & (t < 1) & (jnp.abs(den) > 1e-12) & inside_ref(p)
+        cands.append(p)
+        mask.append(ok)
+    # (c) ref verts projected onto the incident plane (ref inside incident)
+    inc_n = inc_normals[inc_i]
+    ia = inc
+    ib = jnp.roll(inc, -1, axis=0)
+    iside_n = jnp.cross(ib - ia, jnp.broadcast_to(inc_n, ia.shape))
+
+    def inside_inc(p):
+      return jnp.all(jnp.einsum("kd,kd->k", p[None] - ia, iside_n) <= 1e-10)
+
+    for k in range(mfv_r):
+      # project ref vert onto incident plane along ref normal
+      t = jnp.dot(inc[0] - ra[k], inc_n) / jnp.maximum(
+          1e-12, jnp.abs(jnp.dot(ref_n, inc_n))
+      ) * jnp.sign(jnp.dot(ref_n, inc_n))
+      p = ra[k] + t * ref_n
+      cands.append(p)
+      mask.append(inside_inc(p))
+
+    pts = jnp.stack(cands)
+    msk = jnp.stack(mask)
+    # all candidates lie on the incident surface ((c) points are projected
+    # onto it), so the surface gap is the height above the ref plane
+    depth = jnp.einsum("kd,d->k", pts - ref_face_verts[0], ref_n)
+
+    idx, dup = _manifold_points(pts, msk & (depth < 1e9), depth, ref_n, dtype)
+    sel_p = pts[idx]
+    sel_d = depth[idx]
+    sel_valid = msk[idx] & ~dup
+    sel_d = jnp.where(sel_valid, sel_d, 1.0)  # deactivate invalid/dup slots
+    pos = sel_p - 0.5 * sel_d[:, None] * ref_n[None, :]
+    return sel_d, pos
+
+  d_a, p_a = manifold(f1[bf1], n1[bf1], f2, n2)
+  d_b, p_b = manifold(f2[bf2], n2[bf2], f1, n1)
+  # for hull2-reference the contact normal (geom1 -> geom2) is -ref_n
+  n_face = jnp.where(ref_is_1, n1[bf1], -n2[bf2])
+  d_face = jnp.where(ref_is_1, d_a, d_b)
+  p_face = jnp.where(ref_is_1, p_a, p_b)
+
+  dist = jnp.where(
+      use_edge,
+      jnp.concatenate([edge_dist[None], jnp.full((3,), 1.0, dtype)]),
+      d_face,
+  )
+  pos = jnp.where(
+      use_edge,
+      jnp.concatenate([edge_pos[None, :], jnp.zeros((3, 3), dtype)]),
+      p_face,
+  )
+  n_c = jnp.where(use_edge, n_edge, n_face)
+  frame = jnp.broadcast_to(math.make_frame(n_c), (4, 3, 3))
+  return dist, pos, frame

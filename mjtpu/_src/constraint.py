@@ -473,13 +473,13 @@ def _contact_rows(m: Model, d: Data) -> list[_Rows]:
       n = 2 * (condim - 1)
       jlist = []
       invws = []
+      # all pyramid rows share the friction[0]-based invweight (mj C)
+      iw = (invweight_c[c] + mu[0] * mu[0] * invweight_c[c]) * 2.0 * mu[0] * mu[0]
       for k in range(condim - 1):
         tangent = jt[c, 1 + k] if k < 2 else jr[c, k - 2]
         f = mu[k]
         jlist.append(jn + f * tangent)
         jlist.append(jn - f * tangent)
-        iw = invweight_c[c] + f * f * invweight_c[c]
-        iw = iw * 2.0 * f * f
         invws += [iw, iw]
       j = jnp.stack(jlist) * active
       invw = jnp.stack(invws)
@@ -494,8 +494,12 @@ def _contact_rows(m: Model, d: Data) -> list[_Rows]:
         jlist.append(tangent)
       j = jnp.stack(jlist) * active
       invw_n = invweight_c[c]
-      invw_f = invweight_c[c] / jnp.maximum(math.MINVAL, m.opt.impratio)
-      invw = jnp.concatenate([invw_n[None], jnp.full((n - 1,), 1.0, dtype) * invw_f])
+      # friction-row regularization: D_i = D_n * impratio * (mu_i/mu_0)^2
+      mu_ratio2 = (mu[:n - 1] / jnp.maximum(math.MINVAL, mu[0])) ** 2
+      invw_f = invw_n / jnp.maximum(
+          math.MINVAL, m.opt.impratio * mu_ratio2
+      )
+      invw = jnp.concatenate([invw_n[None], invw_f])
       sr = jnp.broadcast_to(solref, (n, 2))
       # friction rows use solreffriction when nonzero
       use_srf = jnp.any(con.solreffriction[c] != 0.0)

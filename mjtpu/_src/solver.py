@@ -66,6 +66,23 @@ def _efc_meta(m: Model) -> _EfcMeta:
   return _EfcMeta(ne, nf, nl, nefc, tuple(blocks))
 
 
+def _elliptic_geometry(blk_u, blk_d, mu0):
+  """Shared elliptic-cone quantities for a contact block.
+
+  Transforms the anisotropic friction cone to a circular cone in a
+  D-weighted space: v_i = u_i sqrt(D_i/D_n), effective slope
+  mu_t = mu_0 sqrt(D_n/D_t1) (= mu_0/sqrt(impratio) for standard params).
+  Returns (N, T, mu_t, v_scale, Dm) with Dm = D_n/(1 + mu_t^2)."""
+  d_n = blk_d[0]
+  v_scale = jnp.sqrt(blk_d[1:] / jnp.maximum(math.MINVAL, d_n))
+  v = blk_u[1:] * v_scale
+  N = blk_u[0]
+  T = math.safe_norm(v)
+  mu_t = mu0 * jnp.sqrt(d_n / jnp.maximum(math.MINVAL, blk_d[1]))
+  dm = d_n / (1.0 + mu_t * mu_t)
+  return N, T, mu_t, v_scale, dm
+
+
 def _row_costs(m: Model, meta: _EfcMeta, Jaref, efc_D, efc_frictionloss, mu):
   """Per-row force / cost / quadratic-active mask given x = Jaref.
 
@@ -112,25 +129,19 @@ def _row_costs(m: Model, meta: _EfcMeta, Jaref, efc_D, efc_frictionloss, mu):
 
   # elliptic cone blocks override their rows
   for start, dim in meta.elliptic_blocks:
-    n = Jaref[start]
-    u = jax.lax.dynamic_slice(Jaref, (start + 1,), (dim - 1,))
-    d0 = efc_D[start]
-    mu_c = mu[start]
-    t = math.safe_norm(u)
-    # zones: top (inactive), bottom (full quadratic), middle (cone)
-    top = n >= mu_c * t
-    bottom = (mu_c * n + t) <= 0
-    # middle-zone cost: 0.5 * Dm * (n - mu*t)^2 with Dm = D0/(mu^2 (1+mu^2))
-    dm = d0 / jnp.maximum(math.MINVAL, mu_c * mu_c * (1.0 + mu_c * mu_c))
-    nmt = n - mu_c * t
-    mid_cost = 0.5 * dm * nmt * nmt
-    # middle-zone force
-    fn_mid = -dm * nmt
-    ft_scale = jnp.where(t > 0, -fn_mid * mu_c / jnp.maximum(math.MINVAL, t), 0.0)
-    f_mid = jnp.concatenate([fn_mid[None], -ft_scale * u])
-
     blk = jax.lax.dynamic_slice(Jaref, (start,), (dim,))
     d_blk = jax.lax.dynamic_slice(efc_D, (start,), (dim,))
+    N, T, mu_t, v_scale, dm = _elliptic_geometry(blk, d_blk, mu[start])
+    top = N >= mu_t * T
+    bottom = (mu_t * N + T) <= 0
+    nmt = N - mu_t * T
+    mid_cost = 0.5 * dm * nmt * nmt
+    # middle-zone force: fn = -dm*(N - mu*T); ft_i = (D_i/D_n) dm mu nmt u_i/T
+    fn_mid = -dm * nmt
+    tsafe = jnp.maximum(math.MINVAL, T)
+    ft_mid = (d_blk[1:] / d_blk[0]) * dm * mu_t * nmt * blk[1:] / tsafe
+    f_mid = jnp.concatenate([fn_mid[None], ft_mid])
+
     f_bottom = -d_blk * blk
     c_bottom = 0.5 * jnp.sum(d_blk * blk * blk)
 
@@ -181,12 +192,11 @@ def _linesearch_derivs(m, meta, Jaref, jv, efc_D, efc_frictionloss, mu, alpha, g
     blk_x = jax.lax.dynamic_slice(x, (start,), (dim,))
     blk_jv = jax.lax.dynamic_slice(jv, (start,), (dim,))
     blk_d = jax.lax.dynamic_slice(efc_D, (start,), (dim,))
-    mu_c = mu[start]
-    n, u = blk_x[0], blk_x[1:]
-    jn, ju = blk_jv[0], blk_jv[1:]
-    t = math.safe_norm(u)
-    top = n >= mu_c * t
-    bottom = (mu_c * n + t) <= 0
+    N, T, mu_t, v_scale, dm = _elliptic_geometry(blk_x, blk_d, mu[start])
+    jn, ju = blk_jv[0], blk_jv[1:] * v_scale
+    v = blk_x[1:] * v_scale
+    top = N >= mu_t * T
+    bottom = (mu_t * N + T) <= 0
     # remove the default (quadratic one-sided) contribution of these rows
     blk_active = blk_x < 0
     dphi = dphi - jnp.sum(jnp.where(blk_active, blk_d * blk_x * blk_jv, 0.0))
@@ -194,15 +204,14 @@ def _linesearch_derivs(m, meta, Jaref, jv, efc_D, efc_frictionloss, mu, alpha, g
     # bottom: full quadratic
     d_bot = jnp.sum(blk_d * blk_x * blk_jv)
     dd_bot = jnp.sum(blk_d * blk_jv * blk_jv)
-    # middle: cone cost 0.5*dm*(n - mu t)^2
-    dm = blk_d[0] / jnp.maximum(math.MINVAL, mu_c * mu_c * (1.0 + mu_c * mu_c))
-    tsafe = jnp.maximum(math.MINVAL, t)
-    dt = jnp.dot(u, ju) / tsafe
+    # middle: cone cost 0.5*dm*(N - mu T)^2
+    tsafe = jnp.maximum(math.MINVAL, T)
+    dt = jnp.dot(v, ju) / tsafe
     ddt = (jnp.dot(ju, ju) - dt * dt) / tsafe
-    nmt = n - mu_c * t
-    dnmt = jn - mu_c * dt
+    nmt = N - mu_t * T
+    dnmt = jn - mu_t * dt
     d_mid = dm * nmt * dnmt
-    dd_mid = dm * (dnmt * dnmt - nmt * mu_c * ddt)
+    dd_mid = dm * (dnmt * dnmt + nmt * (-mu_t) * ddt)
     dphi = dphi + jnp.where(top, 0.0, jnp.where(bottom, d_bot, d_mid))
     ddphi = ddphi + jnp.where(top, 0.0, jnp.where(bottom, dd_bot, dd_mid))
 
@@ -246,10 +255,30 @@ def solve(m: Model, d: Data, fixed_iterations: bool = False) -> Data:
     gauss = 0.5 * jnp.dot(Ma - qfrc_smooth, qacc - qacc_smooth)
     return force, gauss + cost_c, gauss, quad
 
-  def update_gradient(Ma, force, quad):
+  def update_gradient(Ma, force, quad, Jaref):
     grad = Ma - qfrc_smooth - efc_J.T @ force
     if newton:
       h = d.qM + (efc_J.T * (efc_D * quad)) @ efc_J
+      # exact cone Hessian for middle-zone elliptic blocks:
+      #   H = Dm a a' - (Dm nmt mu / T) S (I - vv') S,  a = (1, -mu S v_hat)
+      for start, dim in meta.elliptic_blocks:
+        blk = jax.lax.dynamic_slice(Jaref, (start,), (dim,))
+        d_blk = jax.lax.dynamic_slice(efc_D, (start,), (dim,))
+        jblk = jax.lax.dynamic_slice(efc_J, (start, 0), (dim, m.nv))
+        N, T, mu_t, v_scale, dm = _elliptic_geometry(blk, d_blk, mu_rows[start])
+        middle = (N < mu_t * T) & ((mu_t * N + T) > 0)
+        tsafe = jnp.maximum(math.MINVAL, T)
+        v_hat = blk[1:] * v_scale / tsafe
+        a = jnp.concatenate([jnp.ones(1, dtype), -mu_t * v_scale * v_hat])
+        hcone = dm * jnp.outer(a, a)
+        nmt = N - mu_t * T
+        curv = -(dm * nmt * mu_t / tsafe)
+        pmat = jnp.eye(dim - 1, dtype=dtype) - jnp.outer(v_hat, v_hat)
+        hcone = hcone.at[1:, 1:].add(
+            curv * (v_scale[:, None] * pmat * v_scale[None, :])
+        )
+        hcone = jnp.where(middle, hcone, jnp.zeros_like(hcone))
+        h = h + jblk.T @ hcone @ jblk
       lh = jax.scipy.linalg.cholesky(h, lower=True)
       mgrad = jax.scipy.linalg.cho_solve((lh, True), grad)
     else:
@@ -303,7 +332,7 @@ def solve(m: Model, d: Data, fixed_iterations: bool = False) -> Data:
     Ma = d.qM @ qacc
     Jaref = efc_J @ qacc - efc_aref if nefc else jnp.zeros(0, dtype)
     force, cost, gauss, quad = update_constraint(qacc, Ma, Jaref)
-    grad, mgrad = update_gradient(Ma, force, quad)
+    grad, mgrad = update_gradient(Ma, force, quad, Jaref)
     return _Context(
         qacc=qacc,
         Ma=Ma,
@@ -335,7 +364,7 @@ def solve(m: Model, d: Data, fixed_iterations: bool = False) -> Data:
     Ma = ctx.Ma + alpha * mv
     Jaref = ctx.Jaref + alpha * jv
     force, cost, gauss, quad = update_constraint(qacc, Ma, Jaref)
-    grad, mgrad = update_gradient(Ma, force, quad)
+    grad, mgrad = update_gradient(Ma, force, quad, Jaref)
 
     if newton:
       search = -mgrad

@@ -21,6 +21,16 @@ SMOOTH_MODELS = [
     "weld.xml",
 ]
 
+# contact parity: exact pair functions + Newton converge to C at f64
+CONTACT_MODELS = [
+    "spheres.xml",
+    "capsules.xml",
+    "elliptic.xml",
+    "condim4_pyramidal.xml",
+    "condim4_elliptic.xml",
+    "condim6_elliptic.xml",
+]
+
 
 def run_traj(name, nsteps=100, tol=5e-9, ctrl=False, seed=0, kick=0.1):
   mjm = load_mj(name)
@@ -59,6 +69,34 @@ def test_trajectory(name):
 @pytest.mark.parametrize("name", ["cartpole.xml", "friction_tendon.xml"])
 def test_trajectory_ctrl(name):
   run_traj(name, ctrl=True)
+
+
+@pytest.mark.parametrize("name", CONTACT_MODELS)
+def test_trajectory_contacts(name):
+  run_traj(name, tol=1e-8)
+
+
+def test_trajectory_cg():
+  """CG converges to solver tolerance, not machine eps: looser bound
+  (reference solver_test tolerances, test/solver_test.py)."""
+  run_traj("condim_cg.xml", tol=1e-4)
+
+
+def test_boxes_stable():
+  """Box stacking: SAT manifold differs from C's box-box in contact
+  selection (same as MJX), so assert physical sanity: settles, no blowup."""
+  mjm = load_mj("boxes.xml")
+  m = mjtpu.put_model(mjm)
+  d = mjtpu.make_data(m)
+  step = jax.jit(mjtpu.step)
+  for _ in range(500):
+    d = step(m, d)
+  qpos = np.asarray(d.qpos)
+  assert np.isfinite(qpos).all()
+  # boxes rest on/near the floor, not sunken or flying
+  assert 0.05 < qpos[2] < 0.3
+  qvel = np.asarray(d.qvel)
+  assert np.abs(qvel).max() < 0.5
 
 
 def test_vmap_batch_matches_single():
