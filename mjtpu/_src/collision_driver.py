@@ -214,8 +214,9 @@ def _contact_params(m: Model, pairs: list[tuple[int, int, int]]):
 
   # dynamic mixing (computed for all rows, overridden below for table rows)
   p1, p2 = m.geom_priority[i1], m.geom_priority[i2]  # static numpy
-  margin = jnp.maximum(m.geom_margin[i1], m.geom_margin[i2])
-  gap = jnp.maximum(m.geom_gap[i1], m.geom_gap[i2])
+  # mj mixes margin/gap by sum for dynamic pairs (oracle-verified)
+  margin = m.geom_margin[i1] + m.geom_margin[i2]
+  gap = m.geom_gap[i1] + m.geom_gap[i2]
 
   solmix1, solmix2 = m.geom_solmix[i1], m.geom_solmix[i2]
   mix = solmix1 / (solmix1 + solmix2)

@@ -38,7 +38,14 @@ def plane_capsule(pos1, mat1, size1, pos2, mat2, size2):
   n = mat1[:, 2]
   axis = mat2[:, 2]
   r, h = size2[0], size2[1]
-  frame = math.make_frame(n)
+  # mj's plane-capsule frame: first tangent is the capsule axis projected
+  # onto the plane (matters for pyramidal cone orientation under sliding)
+  t1 = axis - n * jnp.dot(n, axis)
+  t1n = math.safe_norm(t1)
+  frame_fallback = math.make_frame(n)
+  t1 = jnp.where(t1n < 1e-12, frame_fallback[1], t1 / jnp.maximum(1e-12, t1n))
+  t2 = jnp.cross(n, t1)
+  frame = jnp.stack([n, t1, t2])
   dists, poss = [], []
   for sgn in (-1.0, 1.0):
     center = pos2 + sgn * h * axis

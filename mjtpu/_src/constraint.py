@@ -517,7 +517,7 @@ def _contact_rows(m: Model, d: Data) -> list[_Rows]:
             J=j,
             pos=pos_rows,
             pos_imp=jnp.full((n,), pos, dtype),
-            pos_out=jnp.full((n,), pos, dtype),
+            pos_out=jnp.full((n,), con.dist[c], dtype),  # efc_pos = raw dist (mj)
             bias=jnp.zeros(n, dtype),
             margin=jnp.full((n,), con.includemargin[c], dtype),
             invweight=invw,

@@ -1,0 +1,148 @@
+"""RL environment zoo: functional JAX envs over the mjtpu engine.
+
+Reference capability map: mujoco_torch/zoo/base.py (MujocoTorchEnv +
+registry).  The TPU-native design is brax-style functional instead of
+TorchRL's stateful EnvBase: explicit PRNG keys replace torch.manual_seed,
+auto-reset is a jnp.where mask over the state pytree (the reference's
+``dx[done] = ...`` in-place fancy-indexing is untraceable — SURVEY.md §7
+step 12), and batching is plain jax.vmap over State.
+
+Usage:
+    env = mjtpu.zoo.ENVS["humanoid"]()
+    state = jax.vmap(env.reset)(jax.random.split(key, 4096))
+    step = jax.jit(jax.vmap(env.step, in_axes=(0, 0)))
+    state = step(state, actions)   # auto-resets done envs
+"""
+
+from __future__ import annotations
+
+import pathlib
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import mujoco
+import numpy as np
+
+import mjtpu
+from mjtpu._src.dataclasses import mjstruct
+from mjtpu._src.types import Data, Model
+
+ASSETS = pathlib.Path(__file__).parent / "assets"
+
+ENVS: dict[str, Callable[..., "MjtpuEnv"]] = {}
+
+
+def register_env(name: str):
+  def deco(cls):
+    ENVS[name] = cls
+    cls.name = name
+    return cls
+
+  return deco
+
+
+@mjstruct
+class State:
+  """Environment state pytree carried between steps."""
+
+  data: Data
+  obs: jax.Array
+  reward: jax.Array
+  done: jax.Array
+  key: jax.Array          # per-env PRNG key (for auto-reset noise)
+  steps: jax.Array        # episode step counter
+
+
+class MjtpuEnv:
+  """Base class: loads the MJCF, owns the Model, defines reset/step.
+
+  Subclasses set ``xml_name``, ``frame_skip``, and implement ``_obs``,
+  ``_reward_done``.  reset/step are pure functions safe under jit/vmap.
+  """
+
+  xml_name: str = ""
+  frame_skip: int = 5
+  reset_noise: float = 0.01
+  episode_length: int = 1000
+
+  def __init__(self, dtype=None):
+    self.mj_model = mujoco.MjModel.from_xml_path(str(ASSETS / self.xml_name))
+    self.model: Model = mjtpu.put_model(self.mj_model, dtype=dtype)
+    self._d0: Data = mjtpu.make_data(self.model)
+
+  @property
+  def action_size(self) -> int:
+    return self.model.nu
+
+  @property
+  def observation_size(self) -> int:
+    d = jax.eval_shape(lambda: self._obs(self._d0))()
+    return int(np.prod(jax.eval_shape(self._obs, self._d0).shape))
+
+  # -- episode logic ---------------------------------------------------------
+
+  def _noisy_init(self, key) -> Data:
+    kq, kv = jax.random.split(key)
+    qpos = self.model.qpos0 + jax.random.uniform(
+        kq, (self.model.nq,), minval=-self.reset_noise, maxval=self.reset_noise
+    )
+    qvel = self.reset_noise * jax.random.normal(kv, (self.model.nv,))
+    return self._d0.replace(
+        qpos=qpos.astype(self._d0.qpos.dtype),
+        qvel=qvel.astype(self._d0.qpos.dtype),
+    )
+
+  def reset(self, key: jax.Array) -> State:
+    key, sub = jax.random.split(key)
+    data = self._noisy_init(sub)
+    data = mjtpu.forward(self.model, data)
+    obs = self._obs(data)
+    zero = jnp.zeros((), obs.dtype)
+    return State(
+        data=data,
+        obs=obs,
+        reward=zero,
+        done=jnp.zeros((), bool),
+        key=key,
+        steps=jnp.zeros((), jnp.int32),
+    )
+
+  def step(self, state: State, action: jax.Array) -> State:
+    data = state.data.replace(ctrl=action.astype(state.data.ctrl.dtype))
+    for _ in range(self.frame_skip):
+      data = mjtpu.step(self.model, data)
+    reward, done = self._reward_done(state.data, data, action)
+    steps = state.steps + 1
+    done = done | (steps >= self.episode_length)
+
+    # fused auto-reset: where(done) swap in a fresh state (reference
+    # zoo/base.py:325-329 semantics, traceable)
+    key, sub = jax.random.split(state.key)
+    fresh = self._noisy_init(sub)
+    fresh = mjtpu.forward(self.model, fresh)
+    data = jax.tree.map(
+        lambda a, b: jnp.where(done, a, b), fresh, data
+    )
+    steps = jnp.where(done, 0, steps)
+    obs = self._obs(data)
+    return State(
+        data=data, obs=obs, reward=reward, done=done, key=key, steps=steps
+    )
+
+  # -- per-env definitions ---------------------------------------------------
+
+  def _obs(self, data: Data) -> jax.Array:
+    raise NotImplementedError
+
+  def _reward_done(self, prev: Data, data: Data, action):
+    raise NotImplementedError
+
+  # -- helpers ---------------------------------------------------------------
+
+  @property
+  def dt(self) -> float:
+    return float(self.mj_model.opt.timestep) * self.frame_skip
+
+  def _ctrl_cost(self, action, weight):
+    return weight * jnp.sum(jnp.square(action))

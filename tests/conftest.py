@@ -2,6 +2,13 @@
 (SURVEY.md §4 port implication — TPU runs are f32/bf16 throughput runs).
 A virtual 8-device CPU mesh backs the sharding tests."""
 
+import pathlib
+import sys
+
+# make the repo importable without touching PYTHONPATH (which carries the
+# TPU plugin path on the bench machine)
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
@@ -14,8 +21,6 @@ if "host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_enable_x64", True)
-
-import pathlib
 
 import mujoco
 import numpy as np

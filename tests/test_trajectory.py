@@ -1,6 +1,8 @@
 """Trajectory parity vs MuJoCo C (the reference's mjx_correctness oracle:
 100-step trajectories at float64, reference test/mjx_correctness_test.py:200-383)."""
 
+import pathlib
+
 import jax
 import jax.numpy as jnp
 import mujoco
@@ -138,3 +140,34 @@ def test_no_retrace():
     d = d.replace(qpos=d.qpos + 0.01 * i)
     d = step(m, d)
   assert step._cache_size() == 1
+
+
+ZOO_ASSETS = pathlib.Path(__file__).parent.parent / "mjtpu" / "zoo" / "assets"
+
+
+@pytest.mark.parametrize("name", ["halfcheetah.xml", "ant.xml", "humanoid.xml"])
+def test_trajectory_robots(name):
+  """Flagship benchmark models track MuJoCo C with random ctrl (the
+  reference's mjx_correctness ant/halfcheetah/humanoid oracles)."""
+  mjm = mujoco.MjModel.from_xml_path(str(ZOO_ASSETS / name))
+  mjd = mujoco.MjData(mjm)
+  rng = np.random.default_rng(0)
+  mjd.qpos[:] = mjm.qpos0 + rng.uniform(-0.05, 0.05, mjm.nq)
+  mjd.qvel[:] = rng.uniform(-0.05, 0.05, mjm.nv)
+  m = mjtpu.put_model(mjm)
+  d = mjtpu.make_data(m)
+  d = d.replace(
+      qpos=jnp.asarray(np.array(mjd.qpos)), qvel=jnp.asarray(np.array(mjd.qvel))
+  )
+  step = jax.jit(mjtpu.step)
+  for i in range(100):
+    c = rng.uniform(-1, 1, mjm.nu)
+    mjd.ctrl[:] = c
+    d = d.replace(ctrl=jnp.asarray(np.array(c)))
+    mujoco.mj_step(mjm, mjd)
+    d = step(m, d)
+    err = max(
+        np.abs(np.asarray(d.qpos) - mjd.qpos).max(),
+        np.abs(np.asarray(d.qvel) - mjd.qvel).max(),
+    )
+    assert err < 1e-6, f"{name} diverged at step {i}: {err:.3e}"
