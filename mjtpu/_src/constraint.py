@@ -368,20 +368,25 @@ def _friction_rows(m: Model, d: Data) -> list[_Rows]:
 
 
 def _limit_rows(m: Model, d: Data) -> list[_Rows]:
+  """Limit rows: slide/hinge joints batched; ball joints and tendons follow."""
   dtype = d.qpos.dtype
   rows = []
-  for j in np.nonzero(np.asarray(m.jnt_limited))[0]:
-    jt = JointType(int(m.jnt_type[j]))
+  limited = np.nonzero(np.asarray(m.jnt_limited))[0]
+  jt = np.asarray(m.jnt_type)
+
+  for j in limited:
+    # keep joint order (mj row order); batch would reorder scalar vs ball
+    jtype = JointType(int(jt[j]))
     qadr, dadr = int(m.jnt_qposadr[j]), int(m.jnt_dofadr[j])
     margin = m.jnt_margin[j]
-    if jt in (JointType.SLIDE, JointType.HINGE):
+    if jtype in (JointType.SLIDE, JointType.HINGE):
       dist_min = d.qpos[qadr] - m.jnt_range[j, 0]
       dist_max = m.jnt_range[j, 1] - d.qpos[qadr]
       pos = jnp.minimum(dist_min, dist_max) - margin
       side = jnp.where(dist_min < dist_max, 1.0, -1.0).astype(dtype)
       active = (pos < 0).astype(dtype)
       jrow = jnp.zeros((1, m.nv), dtype).at[0, dadr].set(side * active)
-    elif jt == JointType.BALL:
+    elif jtype == JointType.BALL:
       axis, angle = math.normalize_with_norm(
           math.quat_to_vel(d.qpos[qadr : qadr + 4])
       )
@@ -393,7 +398,7 @@ def _limit_rows(m: Model, d: Data) -> list[_Rows]:
       jrow = jnp.zeros((1, m.nv), dtype)
       jrow = jrow.at[0, dadr : dadr + 3].set(-axis * active)
     else:
-      raise NotImplementedError(f"limit on joint type {jt}")
+      raise NotImplementedError(f"limit on joint type {jtype}")
     rows.append(
         _Rows(
             J=jrow,
@@ -408,33 +413,36 @@ def _limit_rows(m: Model, d: Data) -> list[_Rows]:
             frictionloss=jnp.zeros(1, dtype),
         )
     )
-  for t in np.nonzero(np.asarray(m.tendon_limited))[0]:
-    margin = m.tendon_margin[t]
-    length = d.ten_length[t]
-    dist_min = length - m.tendon_range[t, 0]
-    dist_max = m.tendon_range[t, 1] - length
+
+  tens = np.nonzero(np.asarray(m.tendon_limited))[0]
+  if len(tens):
+    margin = m.tendon_margin[tens]
+    length = d.ten_length[tens]
+    dist_min = length - m.tendon_range[tens, 0]
+    dist_max = m.tendon_range[tens, 1] - length
     pos = jnp.minimum(dist_min, dist_max) - margin
     side = jnp.where(dist_min < dist_max, -1.0, 1.0).astype(dtype)
     active = (pos < 0).astype(dtype)
     rows.append(
         _Rows(
-            J=(side * active) * d.ten_J[t][None],
-            pos=pos[None],
-            pos_imp=pos[None],
-            pos_out=pos[None],
-            bias=jnp.zeros(1, dtype),
-            margin=margin[None],
-            invweight=m.tendon_invweight0[t][None],
-            solref=m.tendon_solref_lim[t][None],
-            solimp=m.tendon_solimp_lim[t][None],
-            frictionloss=jnp.zeros(1, dtype),
+            J=(side * active)[:, None] * d.ten_J[tens],
+            pos=pos,
+            pos_imp=pos,
+            pos_out=pos,
+            bias=jnp.zeros(len(tens), dtype),
+            margin=margin,
+            invweight=m.tendon_invweight0[tens],
+            solref=m.tendon_solref_lim[tens],
+            solimp=m.tendon_solimp_lim[tens],
+            frictionloss=jnp.zeros(len(tens), dtype),
         )
     )
   return rows
 
 
 def _contact_rows(m: Model, d: Data) -> list[_Rows]:
-  """Contact rows, in contact (group/condim-sorted) order."""
+  """Contact rows, vectorized per condim group (contacts arrive
+  condim-sorted from the driver, so groups are contiguous)."""
   from mjtpu._src import collision_driver
 
   dtype = d.qpos.dtype
@@ -445,85 +453,84 @@ def _contact_rows(m: Model, d: Data) -> list[_Rows]:
   con = d.contact
   jt, jr, (b1, b2) = _contact_jacobians(m, d)
   dims = collision_driver.make_condim(m)
-  invweight_c = (
-      m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0]
-  )  # (ncon,)
+  invweight_c = m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0]  # (ncon,)
 
-  pos_all = con.dist - con.includemargin  # violation
+  pos_all = con.dist - con.includemargin
   active_all = (pos_all < 0).astype(dtype)
 
   rows = []
   pyramidal = m.opt.cone == ConeType.PYRAMIDAL
-  for c in range(ncon):
-    condim = int(dims[c])
-    pos = pos_all[c]
-    active = active_all[c]
-    mu = con.friction[c]
-    solref = con.solref[c]
-    solimp = con.solimp[c]
-    jn = jt[c, 0]  # normal row
-    if condim == 1:
-      j = (jn * active)[None]
-      n = 1
-      invw = invweight_c[c][None]
-      sr = solref[None]
-      srf = jnp.zeros_like(sr)
-      fri = jnp.zeros(1, dtype)
-    elif pyramidal:
-      n = 2 * (condim - 1)
-      jlist = []
-      invws = []
-      # all pyramid rows share the friction[0]-based invweight (mj C)
-      iw = (invweight_c[c] + mu[0] * mu[0] * invweight_c[c]) * 2.0 * mu[0] * mu[0]
-      for k in range(condim - 1):
-        tangent = jt[c, 1 + k] if k < 2 else jr[c, k - 2]
-        f = mu[k]
-        jlist.append(jn + f * tangent)
-        jlist.append(jn - f * tangent)
-        invws += [iw, iw]
-      j = jnp.stack(jlist) * active
-      invw = jnp.stack(invws)
-      sr = jnp.broadcast_to(solref, (n, 2))
-      srf = jnp.zeros_like(sr)
-      fri = jnp.zeros(n, dtype)
-    else:  # elliptic
-      n = condim
-      jlist = [jn]
-      for k in range(condim - 1):
-        tangent = jt[c, 1 + k] if k < 2 else jr[c, k - 2]
-        jlist.append(tangent)
-      j = jnp.stack(jlist) * active
-      invw_n = invweight_c[c]
-      # friction-row regularization: D_i = D_n * impratio * (mu_i/mu_0)^2
-      mu_ratio2 = (mu[:n - 1] / jnp.maximum(math.MINVAL, mu[0])) ** 2
-      invw_f = invw_n / jnp.maximum(
-          math.MINVAL, m.opt.impratio * mu_ratio2
-      )
-      invw = jnp.concatenate([invw_n[None], invw_f])
-      sr = jnp.broadcast_to(solref, (n, 2))
-      # friction rows use solreffriction when nonzero
-      use_srf = jnp.any(con.solreffriction[c] != 0.0)
-      srf_row = jnp.where(use_srf, con.solreffriction[c], solref)
-      sr = jnp.concatenate([solref[None], jnp.broadcast_to(srf_row, (n - 1, 2))])
-      srf = jnp.zeros_like(sr)
-      fri = jnp.zeros(n, dtype)
+  for condim in sorted(set(int(c) for c in dims)):
+    idx = np.nonzero(dims == condim)[0]
+    k = len(idx)
+    jn = jt[idx, 0]                     # (k, nv) normal rows
+    pos = pos_all[idx]                  # (k,)
+    active = active_all[idx]
+    mu = con.friction[idx]              # (k, 5)
+    solref = con.solref[idx]            # (k, 2)
+    solimp = con.solimp[idx]            # (k, 5)
+    iw = invweight_c[idx]               # (k,)
 
-    pos_rows = jnp.full((n,), pos, dtype) if not pyramidal or condim == 1 else jnp.full((n,), pos, dtype)
-    # friction rows of elliptic cones have zero position (no normal coupling)
-    if not pyramidal and condim > 1:
-      pos_rows = jnp.concatenate([pos[None], jnp.zeros(n - 1, dtype)])
+    if condim == 1:
+      J = jn[:, None, :] * active[:, None, None]
+      n_rows = 1
+      invw = iw[:, None]
+      sr = solref[:, None, :]
+      posr = pos[:, None]
+    else:
+      # tangent rows: translational first, then rotational (condim > 3)
+      tang = jnp.concatenate(
+          [jt[idx, 1:3], jr[idx, : condim - 3]], axis=1
+      )  # (k, condim-1, nv)
+      f = mu[:, : condim - 1]           # (k, condim-1)
+      if pyramidal:
+        plus = jn[:, None, :] + f[..., None] * tang
+        minus = jn[:, None, :] - f[..., None] * tang
+        J = jnp.stack([plus, minus], axis=2).reshape(k, 2 * (condim - 1), -1)
+        J = J * active[:, None, None]
+        n_rows = 2 * (condim - 1)
+        # all pyramid rows share the friction[0]-based invweight (mj C)
+        iw_p = (iw + mu[:, 0] ** 2 * iw) * 2.0 * mu[:, 0] ** 2
+        invw = jnp.broadcast_to(iw_p[:, None], (k, n_rows))
+        sr = jnp.broadcast_to(solref[:, None, :], (k, n_rows, 2))
+        posr = jnp.broadcast_to(pos[:, None], (k, n_rows))
+      else:  # elliptic
+        J = jnp.concatenate([jn[:, None, :], tang], axis=1)
+        J = J * active[:, None, None]
+        n_rows = condim
+        # friction-row regularization: D_i = D_n * impratio * (mu_i/mu_0)^2
+        mu_ratio2 = (f / jnp.maximum(math.MINVAL, mu[:, :1])) ** 2
+        iw_f = iw[:, None] / jnp.maximum(
+            math.MINVAL, m.opt.impratio * mu_ratio2
+        )
+        invw = jnp.concatenate([iw[:, None], iw_f], axis=1)
+        # friction rows use solreffriction when nonzero
+        use_srf = jnp.any(con.solreffriction[idx] != 0.0, axis=1, keepdims=True)
+        srf_row = jnp.where(use_srf, con.solreffriction[idx], solref)
+        sr = jnp.concatenate(
+            [solref[:, None, :], jnp.broadcast_to(srf_row[:, None, :], (k, condim - 1, 2))],
+            axis=1,
+        )
+        # friction rows have zero position (no normal coupling)
+        posr = jnp.concatenate(
+            [pos[:, None], jnp.zeros((k, condim - 1), dtype)], axis=1
+        )
+
+    total = k * n_rows
     rows.append(
         _Rows(
-            J=j,
-            pos=pos_rows,
-            pos_imp=jnp.full((n,), pos, dtype),
-            pos_out=jnp.full((n,), con.dist[c], dtype),  # efc_pos = raw dist (mj)
-            bias=jnp.zeros(n, dtype),
-            margin=jnp.full((n,), con.includemargin[c], dtype),
-            invweight=invw,
-            solref=sr,
-            solimp=jnp.broadcast_to(solimp, (n, 5)),
-            frictionloss=fri,
+            J=J.reshape(total, m.nv),
+            pos=posr.reshape(total),
+            pos_imp=jnp.broadcast_to(pos[:, None], (k, n_rows)).reshape(total),
+            pos_out=jnp.broadcast_to(con.dist[idx, None], (k, n_rows)).reshape(total),
+            bias=jnp.zeros(total, dtype),
+            margin=jnp.broadcast_to(
+                con.includemargin[idx, None], (k, n_rows)
+            ).reshape(total),
+            invweight=invw.reshape(total),
+            solref=sr.reshape(total, 2),
+            solimp=jnp.broadcast_to(solimp[:, None, :], (k, n_rows, 5)).reshape(total, 5),
+            frictionloss=jnp.zeros(total, dtype),
         )
     )
   return rows

@@ -277,21 +277,19 @@ def _advance(
       act = act.at[slots].set(
           d.act[slots] + act_dot[slots] * tau * (1.0 - jnp.exp(-h / tau))
       )
-    # clamp activations
+    # clamp activations (static slot indexing, traced range values)
     actlimited = np.asarray(m.actuator_actlimited, dtype=bool)
     if actlimited.any():
       per_act_limited = np.zeros(m.na, dtype=bool)
-      lo = np.zeros(m.na)
-      hi = np.zeros(m.na)
+      lo = jnp.zeros(m.na, dtype=act.dtype)
+      hi = jnp.zeros(m.na, dtype=act.dtype)
       for u in np.nonzero(actlimited)[0]:
-        sl = slice(actadr[u], actadr[u] + actnum[u])
+        sl = np.arange(actadr[u], actadr[u] + actnum[u])
         per_act_limited[sl] = True
-        lo[sl] = np.asarray(m.actuator_actrange)[u, 0]
-        hi[sl] = np.asarray(m.actuator_actrange)[u, 1]
+        lo = lo.at[sl].set(m.actuator_actrange[u, 0])
+        hi = hi.at[sl].set(m.actuator_actrange[u, 1])
       act = jnp.where(
-          jnp.asarray(per_act_limited),
-          jnp.clip(act, jnp.asarray(lo, dtype=act.dtype), jnp.asarray(hi, dtype=act.dtype)),
-          act,
+          jnp.asarray(per_act_limited), jnp.clip(act, lo, hi), act
       )
 
   # --- velocity (state update always uses qacc; the optional qvel argument

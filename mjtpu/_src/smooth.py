@@ -427,65 +427,92 @@ def tendon_armature(m: Model, d: Data) -> Data:
 
 
 def transmission(m: Model, d: Data) -> Data:
-  """Actuator lengths and moment arms (mj_transmission)."""
+  """Actuator lengths and moment arms (mj_transmission).
+
+  Vectorized per static transmission group; only ball/free joint and site
+  transmissions fall back to per-actuator code (rare)."""
   if not m.nu:
     return d
   dtype = d.qpos.dtype
   length = jnp.zeros(m.nu, dtype=dtype)
   moment = jnp.zeros((m.nu, m.nv), dtype=dtype)
 
-  for u in range(m.nu):
-    trntype = TrnType(int(m.actuator_trntype[u]))
+  trntype = np.asarray(m.actuator_trntype)
+  trnid = np.asarray(m.actuator_trnid)
+  jnt_type = np.asarray(m.jnt_type)
+
+  # --- joint transmission on scalar joints (the common case), batched ---
+  is_joint = (trntype == TrnType.JOINT) | (trntype == TrnType.JOINTINPARENT)
+  scalar_jnt = np.isin(
+      jnt_type[trnid[:, 0]], (int(JointType.SLIDE), int(JointType.HINGE))
+  )
+  ids = np.nonzero(is_joint & scalar_jnt)[0]
+  if len(ids):
+    j = trnid[ids, 0]
+    qadr = np.asarray(m.jnt_qposadr)[j]
+    dadr = np.asarray(m.jnt_dofadr)[j]
+    g0 = m.actuator_gear[ids, 0]
+    length = length.at[ids].set(d.qpos[qadr] * g0)
+    moment = moment.at[ids, dadr].set(g0)
+
+  # --- tendon transmission, batched ---
+  ids = np.nonzero(trntype == TrnType.TENDON)[0]
+  if len(ids):
+    t = trnid[ids, 0]
+    g0 = m.actuator_gear[ids, 0]
+    length = length.at[ids].set(d.ten_length[t] * g0)
+    moment = moment.at[ids].set(d.ten_J[t] * g0[:, None])
+
+  # --- remaining transmissions (ball/free joints, sites): per actuator ---
+  rest = np.nonzero(
+      ~(is_joint & scalar_jnt) & (trntype != TrnType.TENDON)
+  )[0]
+  for u in rest:
+    ttype = TrnType(int(trntype[u]))
     gear = m.actuator_gear[u]
-    if trntype in (TrnType.JOINT, TrnType.JOINTINPARENT):
-      j = int(m.actuator_trnid[u, 0])
-      jt = JointType(int(m.jnt_type[j]))
+    if ttype in (TrnType.JOINT, TrnType.JOINTINPARENT):
+      j = int(trnid[u, 0])
+      jt = JointType(int(jnt_type[j]))
       qadr, dadr = int(m.jnt_qposadr[j]), int(m.jnt_dofadr[j])
-      if jt in (JointType.SLIDE, JointType.HINGE):
-        length = length.at[u].set(d.qpos[qadr] * gear[0])
-        moment = moment.at[u, dadr].set(gear[0])
-      elif jt == JointType.BALL:
+      if jt == JointType.BALL:
         q = d.qpos[qadr : qadr + 4]
         axis_angle = math.quat_to_vel(q)
-        if trntype == TrnType.JOINTINPARENT:
-          # gear is in parent (pre-joint) frame; rotate into child frame
-          gearaxis = math.rotate_inv(gear[:3], q)
-        else:
-          gearaxis = gear[:3]
+        gearaxis = (
+            math.rotate_inv(gear[:3], q)
+            if ttype == TrnType.JOINTINPARENT
+            else gear[:3]
+        )
         length = length.at[u].set(jnp.dot(axis_angle, gear[:3]))
         moment = moment.at[u, dadr : dadr + 3].set(gearaxis)
-      elif jt == JointType.FREE:
+      else:  # FREE
         q = d.qpos[qadr + 3 : qadr + 7]
-        if trntype == TrnType.JOINTINPARENT:
-          gearaxis = math.rotate_inv(gear[3:], q)
-        else:
-          gearaxis = gear[3:]
+        gearaxis = (
+            math.rotate_inv(gear[3:], q)
+            if ttype == TrnType.JOINTINPARENT
+            else gear[3:]
+        )
         length = length.at[u].set(0.0)
         moment = moment.at[u, dadr : dadr + 3].set(gear[:3])
         moment = moment.at[u, dadr + 3 : dadr + 6].set(gearaxis)
-    elif trntype == TrnType.TENDON:
-      t = int(m.actuator_trnid[u, 0])
-      length = length.at[u].set(d.ten_length[t] * gear[0])
-      moment = moment.at[u].set(d.ten_J[t] * gear[0])
-    elif trntype == TrnType.SITE:
-      s = int(m.actuator_trnid[u, 0])
-      refid = int(m.actuator_trnid[u, 1])
-      jacp, jacr = support.jac(m, d, d.site_xpos[s], int(m.site_bodyid[s]))
+    elif ttype == TrnType.SITE:
+      sid = int(trnid[u, 0])
+      refid = int(trnid[u, 1])
+      jacp, jacr = support.jac(m, d, d.site_xpos[sid], int(m.site_bodyid[sid]))
       if refid == -1:
         length = length.at[u].set(0.0)
-        frame = d.site_xmat[s]
-        wrench = frame @ gear[:3], frame @ gear[3:]
-        moment = moment.at[u].set(jacp @ wrench[0] + jacr @ wrench[1])
+        frame = d.site_xmat[sid]
+        moment = moment.at[u].set(
+            jacp @ (frame @ gear[:3]) + jacr @ (frame @ gear[3:])
+        )
       else:
-        # site-to-site transmission: length is the frame-relative offset
         jacp2, jacr2 = support.jac(
             m, d, d.site_xpos[refid], int(m.site_bodyid[refid])
         )
         frame = d.site_xmat[refid]
-        vecp = frame.T @ (d.site_xpos[s] - d.site_xpos[refid])
+        vecp = frame.T @ (d.site_xpos[sid] - d.site_xpos[refid])
         quat_rel = math.quat_mul(
             math.quat_inv(math.mat_to_quat(d.site_xmat[refid])),
-            math.mat_to_quat(d.site_xmat[s]),
+            math.mat_to_quat(d.site_xmat[sid]),
         )
         vecr = math.quat_to_vel(quat_rel)
         length = length.at[u].set(
@@ -495,7 +522,7 @@ def transmission(m: Model, d: Data) -> Data:
         djacr = (jacr - jacr2) @ frame
         moment = moment.at[u].set(djacp @ gear[:3] + djacr @ gear[3:])
     else:
-      raise NotImplementedError(f"transmission {trntype}")
+      raise NotImplementedError(f"transmission {ttype}")
 
   return d.replace(actuator_length=length, actuator_moment=moment)
 

@@ -248,12 +248,14 @@ def muscle_bias(len_, lengthrange, acc0, prm):
   ln, _ = _muscle_normalized(len_, lengthrange, prm)
   b = 0.5 * (1.0 + lmax)
   x = (ln - 1.0) / jnp.maximum(math.MINVAL, b - 1.0)
+  # quadratic ramp to fpmax/2 at x=1, then linear (oracle-calibrated vs
+  # mju_muscleBias)
   fp = jnp.where(
-      ln <= b,
-      0.25 * fpmax * x * x * x,
-      0.25 * fpmax * (1.0 + 3.0 * (x - 1.0)),
+      x <= 1.0,
+      0.5 * fpmax * x * x,
+      fpmax * (0.5 + (x - 1.0)),
   )
-  fp = jnp.where(ln <= 1.0, 0.0, fp)
+  fp = jnp.where(x <= 0.0, 0.0, fp)
   force = jnp.where(force < 0.0, scale / jnp.maximum(math.MINVAL, acc0), force)
   return -force * fp
 

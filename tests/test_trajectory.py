@@ -34,7 +34,7 @@ CONTACT_MODELS = [
 ]
 
 
-def run_traj(name, nsteps=100, tol=5e-9, ctrl=False, seed=0, kick=0.1):
+def run_traj(name, nsteps=100, tol=2e-8, ctrl=False, seed=0, kick=0.1):
   mjm = load_mj(name)
   mjd = mujoco.MjData(mjm)
   rng = np.random.default_rng(seed)
