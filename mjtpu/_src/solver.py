@@ -279,8 +279,7 @@ def solve(m: Model, d: Data, fixed_iterations: bool = False) -> Data:
         )
         hcone = jnp.where(middle, hcone, jnp.zeros_like(hcone))
         h = h + jblk.T @ hcone @ jblk
-      lh = jax.scipy.linalg.cholesky(h, lower=True)
-      mgrad = jax.scipy.linalg.cho_solve((lh, True), grad)
+      mgrad = math.cho_solve(math.safe_cholesky(h), grad)
     else:
       mgrad = smooth.solve_m(m, d, grad)
     return grad, mgrad
@@ -299,7 +298,12 @@ def solve(m: Model, d: Data, fixed_iterations: bool = False) -> Data:
     )
 
     dp0, ddp0 = derivs(jnp.zeros((), dtype))
-    alpha0 = -dp0 / jnp.maximum(math.MINVAL, ddp0)
+    # no-descent guard: a (near-)converged state has ~zero gradient along
+    # the search direction; -0/MINVAL would otherwise produce garbage steps
+    no_descent = dp0 >= -jnp.maximum(gtol, 1e-300)
+    alpha0 = jnp.where(
+        no_descent, 0.0, -dp0 / jnp.maximum(math.MINVAL, ddp0)
+    )
 
     # guarded Newton with expanding bracket on phi'
     def body(_, carry):
@@ -323,9 +327,10 @@ def solve(m: Model, d: Data, fixed_iterations: bool = False) -> Data:
         jnp.asarray(jnp.inf, dtype),
         alpha0,
         *derivs(alpha0),
-        jnp.zeros((), bool),
+        no_descent,
     )
     _, _, alpha, _, _, _ = jax.lax.fori_loop(0, m.opt.ls_iterations, body, init)
+    alpha = jnp.where(no_descent, 0.0, alpha)
     return alpha, mv, jv
 
   def make_ctx(qacc):
@@ -364,6 +369,13 @@ def solve(m: Model, d: Data, fixed_iterations: bool = False) -> Data:
     Ma = ctx.Ma + alpha * mv
     Jaref = ctx.Jaref + alpha * jv
     force, cost, gauss, quad = update_constraint(qacc, Ma, Jaref)
+    # reject non-improving steps (reference solver.py:489-497)
+    worse = cost > ctx.cost
+    qacc = jnp.where(worse, ctx.qacc, qacc)
+    Ma = jnp.where(worse, ctx.Ma, Ma)
+    Jaref = jnp.where(worse, ctx.Jaref, Jaref)
+    force = jnp.where(worse, ctx.efc_force, force)
+    cost = jnp.where(worse, ctx.cost, cost)
     grad, mgrad = update_gradient(Ma, force, quad, Jaref)
 
     if newton:

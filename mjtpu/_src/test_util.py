@@ -1,0 +1,131 @@
+"""Test utilities: random MJCF generation for fuzz parity testing.
+
+Reference capability map: mujoco_torch/_src/test_util.py:161-356
+(create_mjcf: random kinematic trees with joint stacks, geoms, contact
+pairs/excludes, actuators — the fuzz oracle for per-stage parity tests).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_JOINTS = ["hinge", "slide", "ball"]
+_GEOMS = ["sphere", "capsule", "box"]
+
+
+def create_mjcf(
+    seed: int,
+    max_bodies: int = 6,
+    max_joints_per_body: int = 2,
+    floor: bool = True,
+    free_root: bool = True,
+    actuators: bool = True,
+    tendons: bool = False,
+    frictionloss: bool = False,
+    limits: bool = True,
+    timestep: float = 0.002,
+    integrator: str = "Euler",
+    cone: str = "pyramidal",
+    solver: str = "Newton",
+    geom_types: tuple = ("sphere", "capsule", "box"),
+) -> str:
+  """Generates a random but well-formed MJCF string."""
+  rng = np.random.default_rng(seed)
+  nbody = int(rng.integers(2, max_bodies + 1))
+
+  lines = [
+      f'<mujoco model="fuzz{seed}">',
+      f'  <option timestep="{timestep}" integrator="{integrator}"'
+      f' cone="{cone}" solver="{solver}"/>',
+      "  <worldbody>",
+  ]
+  if floor:
+    lines.append('    <geom name="floor" type="plane" size="10 10 0.1"/>')
+
+  joint_names = []
+  depth = 0
+
+  def geom_str(i):
+    g = geom_types[rng.integers(0, len(geom_types))]
+    if g == "sphere":
+      return f'<geom type="sphere" size="{rng.uniform(0.04, 0.12):.3f}" mass="{rng.uniform(0.2, 1.5):.3f}"/>'
+    if g == "capsule":
+      return (
+          f'<geom type="capsule" size="{rng.uniform(0.03, 0.08):.3f} '
+          f'{rng.uniform(0.08, 0.25):.3f}" mass="{rng.uniform(0.2, 1.5):.3f}"/>'
+      )
+    return (
+        f'<geom type="box" size="{rng.uniform(0.05, 0.15):.3f} '
+        f'{rng.uniform(0.05, 0.15):.3f} {rng.uniform(0.05, 0.15):.3f}"'
+        f' mass="{rng.uniform(0.2, 1.5):.3f}"/>'
+    )
+
+  for b in range(nbody):
+    ind = "    " + "  " * depth
+    pos = rng.uniform(-0.3, 0.3, 3)
+    pos[2] = abs(pos[2]) + 0.4 if depth == 0 else pos[2]
+    lines.append(
+        f'{ind}<body name="b{b}" pos="{pos[0]:.3f} {pos[1]:.3f} {pos[2]:.3f}">'
+    )
+    if b == 0 and free_root and rng.random() < 0.5:
+      lines.append(f"{ind}  <freejoint/>")
+    else:
+      njnt = int(rng.integers(1, max_joints_per_body + 1))
+      for j in range(njnt):
+        jt = _JOINTS[rng.integers(0, len(_JOINTS))]
+        if jt == "ball" and j < njnt - 1:
+          jt = "hinge"  # rotations may not follow a ball in a stack (mj rule)
+        name = f"j{b}_{j}"
+        axis = rng.normal(size=3)
+        axis /= np.linalg.norm(axis)
+        attrs = (
+            f'name="{name}" type="{jt}" axis="{axis[0]:.3f} {axis[1]:.3f}'
+            f' {axis[2]:.3f}" damping="{rng.uniform(0.01, 0.5):.3f}"'
+            f' armature="{rng.uniform(0.01, 0.1):.3f}"'
+        )  # armature keeps qM strictly PD (reference create_mjcf does the same)
+        if jt != "ball" and limits and rng.random() < 0.5:
+          lo, hi = sorted(rng.uniform(-1.2, 1.2, 2))
+          attrs += f' limited="true" range="{lo:.3f} {hi:.3f}"'
+        if jt != "ball" and frictionloss and rng.random() < 0.5:
+          attrs += f' frictionloss="{rng.uniform(0.05, 0.3):.3f}"'
+        if jt != "ball" and rng.random() < 0.3:
+          attrs += f' stiffness="{rng.uniform(0.5, 5.0):.2f}"'
+        lines.append(f"{ind}  <joint {attrs}/>")
+        if jt != "ball":
+          joint_names.append(name)
+    lines.append(f"{ind}  {geom_str(b)}")
+    if b < nbody - 1 and rng.random() < 0.7:
+      depth += 1  # child of this body
+    else:
+      lines.append(f"{ind}</body>")
+
+  for _ in range(depth):
+    depth -= 1
+    ind = "    " + "  " * depth
+    lines.append(f"{ind}</body>")
+  lines.append("  </worldbody>")
+
+  if tendons and len(joint_names) >= 2:
+    lines.append("  <tendon>")
+    lines.append('    <fixed name="t0">')
+    for name in joint_names[:2]:
+      lines.append(f'      <joint joint="{name}" coef="{rng.uniform(-1, 1):.3f}"/>')
+    lines.append("    </fixed>")
+    lines.append("  </tendon>")
+
+  if actuators and joint_names:
+    lines.append("  <actuator>")
+    for name in joint_names[: min(4, len(joint_names))]:
+      if rng.random() < 0.5:
+        lines.append(
+            f'    <motor joint="{name}" gear="{rng.uniform(5, 50):.1f}"'
+            f' ctrlrange="-1 1" ctrllimited="true"/>'
+        )
+      else:
+        lines.append(
+            f'    <position joint="{name}" kp="{rng.uniform(1, 20):.1f}"'
+            f' ctrlrange="-1 1" ctrllimited="true"/>'
+        )
+    lines.append("  </actuator>")
+  lines.append("</mujoco>")
+  return "\n".join(lines)

@@ -22,6 +22,16 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 
+# the axon TPU plugin (loaded via the machine's PYTHONPATH sitecustomize)
+# force-claims the TPU regardless of JAX_PLATFORMS; parity tests MUST run on
+# CPU at f64.  Launch pytest as `PYTHONPATH=/root/repo python -m pytest ...`
+# (clobbering the plugin path) — this assert catches silent TPU fallthrough,
+# where f64 trig runs at f32 precision and every tolerance is garbage.
+assert jax.devices()[0].platform == "cpu", (
+    "parity tests must run on the CPU backend: launch with "
+    "PYTHONPATH=<repo> so the axon TPU plugin is not on sys.path"
+)
+
 import mujoco
 import numpy as np
 import pytest
