@@ -1,0 +1,91 @@
+"""Multi-config benchmark sweep (reference examples/bench_all.py: JSONL of
+compile_s / warmup / steady-state throughput per model x batch).
+
+    python benchmarks/bench_all.py --models humanoid ant halfcheetah \
+        --batches 1024 4096 8192 --out bench_results.jsonl
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import mujoco
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/mjtpu_xla_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+import mjtpu
+
+ASSETS = Path(__file__).resolve().parent.parent / "mjtpu" / "zoo" / "assets"
+
+
+def bench_one(model_name: str, batch: int, nsteps: int, nwarm: int) -> dict:
+  mjm = mujoco.MjModel.from_xml_path(str(ASSETS / f"{model_name}.xml"))
+  m = mjtpu.put_model(mjm, dtype=jnp.float32)
+  d0 = mjtpu.make_data(m)
+  rng = np.random.default_rng(0)
+  qpos = jnp.asarray(
+      mjm.qpos0[None] + rng.uniform(-0.01, 0.01, (batch, mjm.nq)), jnp.float32
+  )
+  batch_d = jax.vmap(lambda q: d0.replace(qpos=q))(qpos)
+  step = jax.jit(jax.vmap(mjtpu.step, in_axes=(None, 0)))
+
+  t0 = time.perf_counter()
+  batch_d = step(m, batch_d)
+  jax.block_until_ready(batch_d.qpos)
+  compile_s = time.perf_counter() - t0
+
+  for _ in range(nwarm):
+    batch_d = step(m, batch_d)
+  jax.block_until_ready(batch_d.qpos)
+
+  t0 = time.perf_counter()
+  for _ in range(nsteps):
+    batch_d = step(m, batch_d)
+  jax.block_until_ready(batch_d.qpos)
+  elapsed = time.perf_counter() - t0
+
+  return {
+      "model": model_name,
+      "batch": batch,
+      "nsteps": nsteps,
+      "compile_s": round(compile_s, 2),
+      "steps_per_sec": round(batch * nsteps / elapsed, 1),
+      "ms_per_batched_step": round(elapsed / nsteps * 1e3, 4),
+      "device": jax.devices()[0].device_kind,
+  }
+
+
+def main():
+  ap = argparse.ArgumentParser()
+  ap.add_argument("--models", nargs="+",
+                  default=["humanoid", "ant", "halfcheetah", "hopper"])
+  ap.add_argument("--batches", nargs="+", type=int, default=[1024, 4096, 8192])
+  ap.add_argument("--steps", type=int, default=500)
+  ap.add_argument("--warmup", type=int, default=50)
+  ap.add_argument("--out", default="")
+  args = ap.parse_args()
+
+  results = []
+  for name in args.models:
+    for b in args.batches:
+      r = bench_one(name, b, args.steps, args.warmup)
+      results.append(r)
+      print(json.dumps(r), flush=True)
+  if args.out:
+    with open(args.out, "a") as f:
+      for r in results:
+        f.write(json.dumps(r) + "\n")
+
+
+if __name__ == "__main__":
+  main()

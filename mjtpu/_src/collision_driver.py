@@ -155,13 +155,43 @@ def candidate_groups(m: Model) -> dict[tuple, list[tuple[int, int, int]]]:
   return dict(sorted(groups.items(), key=lambda kv: (kv[0][4], str(kv[0]))))
 
 
-def ncon(m: Model) -> int:
-  """Static maximum number of contact points (reference :647-649)."""
+def max_contact_points(m: Model) -> int | None:
+  """Static contact cap from the <numeric name="max_contact_points"> custom
+  field (reference collision_driver.py:571-578), or None."""
+  target = b"max_contact_points"
+  for i in range(len(m.numeric_adr)):
+    adr = int(m.name_numericadr[i])
+    name = m.names[adr:].split(b"\x00", 1)[0]
+    if name == target:
+      return int(m.numeric_data[int(m.numeric_adr[i])])
+  return None
+
+
+def _raw_ncon(m: Model) -> int:
   if m.opt.disableflags & DisableBit.CONTACT:
     return 0
   n = 0
   for key, pairs in candidate_groups(m).items():
     n += _PAIR_NCON[key[:2]] * len(pairs)
+  return n
+
+
+def ncon(m: Model) -> int:
+  """Static maximum number of contact points (reference :647-649), after
+  the optional max_contact_points cap (top-k by penetration; requires a
+  single condim across contacts so efc addressing stays static)."""
+  n = _raw_ncon(m)
+  cap = max_contact_points(m)
+  if cap is not None and n > cap:
+    if len(condim_counts(m)) > 1:
+      import warnings
+
+      warnings.warn(
+          "max_contact_points ignored: contacts mix condims (efc addressing"
+          " would become dynamic)"
+      )
+      return n
+    return cap
   return n
 
 
@@ -173,21 +203,27 @@ def condim_counts(m: Model) -> dict[int, int]:
   for key, pairs in candidate_groups(m).items():
     c = key[4]
     counts[c] = counts.get(c, 0) + _PAIR_NCON[key[:2]] * len(pairs)
+  cap = max_contact_points(m)
+  if cap is not None and len(counts) == 1:
+    k = next(iter(counts))
+    counts[k] = min(counts[k], cap)
   return counts
 
 
 def make_condim(m: Model) -> np.ndarray:
-  """Static per-contact condim array, in the group (condim-sorted) order."""
+  """Static per-contact condim array (capped), group/condim-sorted order."""
   dims = []
   if not (m.opt.disableflags & DisableBit.CONTACT):
     for key, pairs in candidate_groups(m).items():
       dims += [key[4]] * (_PAIR_NCON[key[:2]] * len(pairs))
-  return np.array(dims, dtype=np.int32)
+  dims = np.array(dims, dtype=np.int32)
+  n = ncon(m)
+  return dims[:n]
 
 
 def contact_efc_address(m: Model, ne: int, nf: int, nl: int) -> np.ndarray:
   """Static efc row address per contact (rows start after ne+nf+nl)."""
-  dims = make_condim(m)
+  dims = make_condim(m)  # already capped
   if not len(dims):
     return np.zeros(0, np.int32)
   if m.opt.cone == ConeType.PYRAMIDAL:
@@ -387,8 +423,9 @@ def collision(m: Model, d: Data) -> Data:
   geom1 = jnp.asarray(np.concatenate(g1s), dtype=jnp.int32)
   geom2 = jnp.asarray(np.concatenate(g2s), dtype=jnp.int32)
 
+  dist = jnp.concatenate(dists)
   contact = Contact(
-      dist=jnp.concatenate(dists),
+      dist=dist,
       pos=jnp.concatenate(poss),
       frame=jnp.concatenate(frames),
       includemargin=margin - gap,
@@ -402,4 +439,24 @@ def collision(m: Model, d: Data) -> Data:
       geom=jnp.stack([geom1, geom2], axis=-1),
       efc_address=jnp.asarray(efc_addr_np),
   )
+
+  # optional top-k cap by penetration depth (reference :822-840)
+  if total > ncon(m):
+    k = ncon(m)
+    order = jnp.argsort(dist)[:k]
+    contact = Contact(
+        dist=dist[order],
+        pos=contact.pos[order],
+        frame=contact.frame[order],
+        includemargin=contact.includemargin[order],
+        friction=contact.friction[order],
+        solref=contact.solref[order],
+        solreffriction=contact.solreffriction[order],
+        solimp=contact.solimp[order],
+        dim=jnp.asarray(make_condim(m)),
+        geom1=contact.geom1[order],
+        geom2=contact.geom2[order],
+        geom=contact.geom[order],
+        efc_address=jnp.asarray(efc_addr_np[:k]),
+    )
   return d.replace(contact=contact)

@@ -86,24 +86,16 @@ def _contact_jacobians(m: Model, d: Data):
   Returns js (ncon, 3|6, nv): translational rows (frame-projected jacp
   difference) and, for condim > 3 use, rotational rows (frame-projected jacr
   difference).  Uses the static contact geom indices from the driver."""
-  from mjtpu._src import collision_driver
+  bodyid = jnp.asarray(np.asarray(m.geom_bodyid))
+  rootid = jnp.asarray(np.asarray(m.body_rootid))
+  b1 = bodyid[d.contact.geom1]
+  b2 = bodyid[d.contact.geom2]
 
-  groups = collision_driver.candidate_groups(m)
-  g1s, g2s = [], []
-  for key, pairs in groups.items():
-    n_per = collision_driver._PAIR_NCON[key[:2]]
-    g1s += [p[0] for p in pairs for _ in range(n_per)]
-    g2s += [p[1] for p in pairs for _ in range(n_per)]
-  g1 = np.array(g1s, dtype=np.int64)
-  g2 = np.array(g2s, dtype=np.int64)
-  b1 = np.asarray(m.geom_bodyid)[g1]
-  b2 = np.asarray(m.geom_bodyid)[g2]
-
-  mask = np.asarray(support.dof_ancestor_mask(m))
-  mask_dif = jnp.asarray(mask[b2] - mask[b1], dtype=d.qpos.dtype)  # (ncon, nv)
-
-  com1 = d.subtree_com[np.asarray(m.body_rootid)[b1]]
-  com2 = d.subtree_com[np.asarray(m.body_rootid)[b2]]
+  mask_np = jnp.asarray(
+      np.asarray(support.dof_ancestor_mask(m)), dtype=d.qpos.dtype
+  )
+  com1 = d.subtree_com[rootid[b1]]
+  com2 = d.subtree_com[rootid[b2]]
   pos = d.contact.pos  # (ncon, 3)
 
   def one(mask1, mask2, c1, c2, p, frame):
@@ -117,8 +109,8 @@ def _contact_jacobians(m: Model, d: Data):
     jr = frame @ (jacr2 - jacr1).T  # (3, nv)
     return jt, jr
 
-  mask1 = jnp.asarray(mask[b1], dtype=d.qpos.dtype)
-  mask2 = jnp.asarray(mask[b2], dtype=d.qpos.dtype)
+  mask1 = mask_np[b1]
+  mask2 = mask_np[b2]
   jt, jr = jax.vmap(one)(mask1, mask2, com1, com2, pos, d.contact.frame)
   return jt, jr, (b1, b2)
 
@@ -457,6 +449,19 @@ def _contact_rows(m: Model, d: Data) -> list[_Rows]:
 
   pos_all = con.dist - con.includemargin
   active_all = (pos_all < 0).astype(dtype)
+
+  # contacts-from-distance (differentiable mode): soft activation within
+  # cfd_width + softplus-smoothed penetration with a straight-through
+  # estimator (reference constraint.py:697-726)
+  from mjtpu._src.diff_config import get_diff_config
+
+  cfg = get_diff_config()
+  if cfg is not None and cfg.cfd:
+    soft_act = jax.nn.sigmoid(-pos_all / cfg.cfd_width)
+    hard_act = (pos_all < cfg.cfd_width).astype(dtype)
+    active_all = soft_act + jax.lax.stop_gradient(hard_act - soft_act)
+    pos_soft = -cfg.cfd_dc * jax.nn.softplus(-pos_all / cfg.cfd_dc)
+    pos_all = pos_soft + jax.lax.stop_gradient(pos_all - pos_soft)
 
   rows = []
   pyramidal = m.opt.cone == ConeType.PYRAMIDAL

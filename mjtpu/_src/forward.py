@@ -415,8 +415,7 @@ def implicit(m: Model, d: Data) -> Data:
   return _advance(m, d, d.act_dot, qacc)
 
 
-def step(m: Model, d: Data, fixed_iterations: bool = False) -> Data:
-  """Advances the simulation one timestep (mj_step)."""
+def _single_step(m: Model, d: Data, fixed_iterations: bool) -> Data:
   d = _check_state(m, d)
   d = forward(m, d, fixed_iterations=fixed_iterations)
 
@@ -427,3 +426,23 @@ def step(m: Model, d: Data, fixed_iterations: bool = False) -> Data:
   if m.opt.integrator == IntegratorType.IMPLICITFAST:
     return implicit(m, d)
   raise NotImplementedError(m.opt.integrator)
+
+
+def step(m: Model, d: Data, fixed_iterations: bool = False) -> Data:
+  """Advances the simulation one timestep (mj_step).
+
+  Inside ``differentiable_mode()`` the solver runs a fixed iteration count
+  (reverse-differentiable) and, when ``adaptive_integration`` is set, the
+  step splits into N equal substeps (reference forward.py:419-460)."""
+  from mjtpu._src.diff_config import get_diff_config
+
+  cfg = get_diff_config()
+  if cfg is not None:
+    fixed_iterations = True  # lax.while_loop has no transpose rule
+    if cfg.adaptive_integration and cfg.adaptive_substeps > 1:
+      n = cfg.adaptive_substeps
+      m_sub = m.tree_replace({"opt.timestep": m.opt.timestep / n})
+      for _ in range(n):
+        d = _single_step(m_sub, d, fixed_iterations)
+      return d
+  return _single_step(m, d, fixed_iterations)

@@ -320,15 +320,10 @@ def sensor_acc(m: Model, d: Data) -> Data:
         val = jnp.zeros((), dtype=sd.dtype)
       else:
         forces = support.contact_forces(m, d)[:, 0]
-        groups = collision_driver.candidate_groups(m)
-        g1s, g2s = [], []
-        for key, pairs in groups.items():
-          n_per = collision_driver._PAIR_NCON[key[:2]]
-          g1s += [p[0] for p in pairs for _ in range(n_per)]
-          g2s += [p[1] for p in pairs for _ in range(n_per)]
-        b1 = np.asarray(m.geom_bodyid)[np.array(g1s)]
-        b2 = np.asarray(m.geom_bodyid)[np.array(g2s)]
-        mask = jnp.asarray(((b1 == b) | (b2 == b)).astype(np.float64), dtype=sd.dtype)
+        bodyid = jnp.asarray(np.asarray(m.geom_bodyid))
+        b1 = bodyid[d.contact.geom1]
+        b2 = bodyid[d.contact.geom2]
+        mask = ((b1 == b) | (b2 == b)).astype(sd.dtype)
         val = jnp.sum(mask * forces)
     else:
       raise NotImplementedError(f"acc sensor {stype}")

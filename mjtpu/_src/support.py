@@ -327,16 +327,10 @@ def contact_force_com(m: Model, d: Data):
   Returns (wrench (ncon, 6) about body2's root subtree com with world axes,
   body1 ids, body2 ids).  The wrench applies positively to body2 and
   negatively to body1 (mj_rnePostConstraint contact handling)."""
-  from mjtpu._src import collision_driver
-
-  groups = collision_driver.candidate_groups(m)
-  g1s, g2s = [], []
-  for key, pairs in groups.items():
-    n_per = collision_driver._PAIR_NCON[key[:2]]
-    g1s += [p[0] for p in pairs for _ in range(n_per)]
-    g2s += [p[1] for p in pairs for _ in range(n_per)]
-  b1 = np.asarray(m.geom_bodyid)[np.array(g1s, dtype=np.int64)]
-  b2 = np.asarray(m.geom_bodyid)[np.array(g2s, dtype=np.int64)]
+  bodyid = jnp.asarray(np.asarray(m.geom_bodyid))
+  rootid = jnp.asarray(np.asarray(m.body_rootid))
+  b1 = bodyid[d.contact.geom1]
+  b2 = bodyid[d.contact.geom2]
 
   f_con = contact_forces(m, d)  # contact frame
 
@@ -346,6 +340,6 @@ def contact_force_com(m: Model, d: Data):
     torque = torque + jnp.cross(pos - rc, force)
     return jnp.concatenate([torque, force])
 
-  rc2 = d.subtree_com[np.asarray(m.body_rootid)[b2]]
+  rc2 = d.subtree_com[rootid[b2]]
   wrench = jax.vmap(to_com)(f_con, d.contact.frame, d.contact.pos, rc2)
   return wrench, b1, b2

@@ -171,3 +171,31 @@ def test_trajectory_robots(name):
         np.abs(np.asarray(d.qvel) - mjd.qvel).max(),
     )
     assert err < 1e-6, f"{name} diverged at step {i}: {err:.3e}"
+
+
+def test_max_contact_points():
+  """<numeric name="max_contact_points"> caps contact slots via top-k by
+  penetration (reference collision_driver.py:571-578, 822-840)."""
+  xml = """<mujoco>
+    <custom><numeric name="max_contact_points" data="6"/></custom>
+    <worldbody>
+      <geom type="plane" size="5 5 0.1"/>
+      <body pos="0 0 0.3"><freejoint/><geom type="sphere" size="0.1" mass="0.5"/></body>
+      <body pos="0.5 0 0.3"><freejoint/><geom type="sphere" size="0.1" mass="0.5"/></body>
+      <body pos="0 0.5 0.3"><freejoint/><geom type="sphere" size="0.1" mass="0.5"/></body>
+      <body pos="0.25 0.25 0.6"><freejoint/><geom type="sphere" size="0.1" mass="0.5"/></body>
+      <body pos="0.25 -0.25 0.6"><freejoint/><geom type="sphere" size="0.1" mass="0.5"/></body>
+    </worldbody></mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  m = mjtpu.put_model(mjm)
+  assert mjtpu.ncon(m) == 6  # raw candidate count is 15 (5 floor + 10 pairs)
+  d = mjtpu.make_data(m)
+  assert d.contact.dist.shape == (6,)
+  step = jax.jit(mjtpu.step)
+  for _ in range(200):
+    d = step(m, d)
+  qpos = np.asarray(d.qpos)
+  assert np.isfinite(qpos).all()
+  # spheres rest on the floor (the 4 deepest contacts carry the load)
+  z = qpos[2::7]
+  assert (z > 0.05).all() and (z < 0.45).all()
