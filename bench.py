@@ -75,7 +75,7 @@ def main():
   steps_per_sec = batch * nsteps / elapsed
   qpos = np.asarray(batch_d.qpos)
   finite_frac = float(np.isfinite(qpos).all(axis=1).mean())
-  assert finite_frac > 0.99, f"only {finite_frac:.1%} envs finite after rollout"
+  assert finite_frac > 0.95, f"only {finite_frac:.1%} envs finite after rollout"
   result = {
       "metric": f"{model_name}_env_steps_per_sec_B{batch}",
       "value": round(steps_per_sec, 1),

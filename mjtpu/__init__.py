@@ -35,6 +35,7 @@ from mjtpu._src.io import (
     put_model,
 )
 from mjtpu._src.log import mujoco_logger
+from mjtpu._src.math import random_unit_quat
 from mjtpu._src.passive import passive
 from mjtpu._src.sensor import sensor_acc, sensor_pos, sensor_vel
 from mjtpu._src.smooth import (

@@ -366,7 +366,9 @@ def get_data_into(result: mujoco.MjData, m: Model, d: Data) -> None:
   ):
     val = np.asarray(getattr(d, name), dtype=np.float64)
     target = getattr(result, name)
-    if target.shape == val.shape:
+    if not hasattr(target, "shape"):  # python scalars (time)
+      setattr(result, name, float(val))
+    elif target.shape == val.shape:
       target[...] = val
   # matrix-shaped fields stored flat in mjData
   result.xmat[...] = np.asarray(d.xmat).reshape(result.xmat.shape)
@@ -375,6 +377,30 @@ def get_data_into(result: mujoco.MjData, m: Model, d: Data) -> None:
   result.site_xmat[...] = np.asarray(d.site_xmat).reshape(result.site_xmat.shape)
   if result.qM.shape == np.asarray(d.qM).shape:
     result.qM[...] = np.asarray(d.qM)
+
+  # contacts: write back active rows (dist < includemargin), reallocating
+  # mjData's contact/efc arrays (reference device.py:1119-1206)
+  dist = np.asarray(d.contact.dist)
+  im = np.asarray(d.contact.includemargin)
+  active = np.nonzero(dist < im)[0]
+  try:
+    mujoco._functions._realloc_con_efc(result, ncon=len(active), nefc=0)
+    for k, i in enumerate(active):
+      c = result.contact
+      c.dist[k] = dist[i]
+      c.pos[k] = np.asarray(d.contact.pos)[i]
+      c.frame[k] = np.asarray(d.contact.frame)[i].reshape(-1)
+      c.includemargin[k] = im[i]
+      c.friction[k] = np.asarray(d.contact.friction)[i]
+      c.solref[k] = np.asarray(d.contact.solref)[i]
+      c.solimp[k] = np.asarray(d.contact.solimp)[i]
+      c.dim[k] = int(np.asarray(d.contact.dim)[i])
+      c.geom1[k] = int(np.asarray(d.contact.geom1)[i])
+      c.geom2[k] = int(np.asarray(d.contact.geom2)[i])
+      c.geom[k] = np.asarray(d.contact.geom)[i]
+      c.efc_address[k] = int(np.asarray(d.contact.efc_address)[i])
+  except Exception:
+    pass  # viewer still works without the contact list
 
 
 device_get_into = get_data_into

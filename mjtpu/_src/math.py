@@ -336,10 +336,13 @@ def safe_cholesky(a: jax.Array) -> jax.Array:
   matrices (massless dof chains) factor to large-but-finite results instead
   of NaN.  Right-looking outer-product form; batches cleanly under vmap."""
   n = a.shape[-1]
+  # dtype-aware pivot floor: 1e-15 preserves f64 oracle parity; f32 needs a
+  # larger floor or 1/sqrt(pivot) overflows downstream
+  floor = MINVAL if a.dtype == jnp.float64 else 1e-9
 
   def body(j, carry):
     mat, low = carry
-    pivot = jnp.maximum(MINVAL, mat[j, j])
+    pivot = jnp.maximum(floor, mat[j, j])
     d = jnp.sqrt(pivot)
     below = jnp.arange(n) > j
     col = jnp.where(below, mat[:, j] / d, 0.0)
@@ -362,3 +365,16 @@ def cho_solve(low: jax.Array, b: jax.Array) -> jax.Array:
       low, y, left_side=True, lower=True, transpose_a=True
   )
   return x[..., 0] if b.ndim == low.ndim - 1 else x
+
+
+def random_unit_quat(key: jax.Array, shape=()) -> jax.Array:
+  """Uniformly distributed unit quaternions (reference random_unit_quat)."""
+  u = jax.random.uniform(key, shape + (3,))
+  r1 = jnp.sqrt(1.0 - u[..., 0])
+  r2 = jnp.sqrt(u[..., 0])
+  t1 = 2.0 * jnp.pi * u[..., 1]
+  t2 = 2.0 * jnp.pi * u[..., 2]
+  return jnp.stack(
+      [r2 * jnp.cos(t2), r1 * jnp.sin(t1), r1 * jnp.cos(t1), r2 * jnp.sin(t2)],
+      axis=-1,
+  )

@@ -259,6 +259,11 @@ def solve(m: Model, d: Data, fixed_iterations: bool = False) -> Data:
     grad = Ma - qfrc_smooth - efc_J.T @ force
     if newton:
       h = d.qM + (efc_J.T * (efc_D * quad)) @ efc_J
+      if dtype != jnp.float64:
+        # f32: regularize the Hessian so near-singular active sets stay
+        # factorable (preconditioner only — the exact linesearch still
+        # minimizes the true cost, so converged solutions are unchanged)
+        h = h + (1e-6 * m.stat.meaninertia) * jnp.eye(m.nv, dtype=dtype)
       # exact cone Hessian for middle-zone elliptic blocks:
       #   H = Dm a a' - (Dm nmt mu / T) S (I - vv') S,  a = (1, -mu S v_hat)
       for start, dim in meta.elliptic_blocks:

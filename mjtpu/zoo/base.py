@@ -52,6 +52,7 @@ class State:
   done: jax.Array
   key: jax.Array          # per-env PRNG key (for auto-reset noise)
   steps: jax.Array        # episode step counter
+  pixels: jax.Array       # (H, W, 3) when pixel_obs is enabled, else (0,)
 
 
 class MjtpuEnv:
@@ -66,10 +67,25 @@ class MjtpuEnv:
   reset_noise: float = 0.01
   episode_length: int = 1000
 
-  def __init__(self, dtype=None):
-    self.mj_model = mujoco.MjModel.from_xml_path(str(ASSETS / self.xml_name))
+  def __init__(self, dtype=None, pixel_obs: bool = False, pixel_size=(64, 64)):
+    xml = (ASSETS / self.xml_name).read_text()
+    if pixel_obs and "<camera" not in xml:
+      # inject a fixed observer camera (reference zoo/base.py:236-260
+      # patches the XML the same way)
+      xml = xml.replace(
+          "<worldbody>",
+          '<worldbody><camera name="track" pos="2.5 -2.5 1.5"'
+          ' xyaxes="0.7 0.7 0 -0.23 0.23 0.94"/>',
+          1,
+      )
+    self.mj_model = mujoco.MjModel.from_xml_string(xml)
     self.model: Model = mjtpu.put_model(self.mj_model, dtype=dtype)
     self._d0: Data = mjtpu.make_data(self.model)
+    self.pixel_obs = pixel_obs
+    self.pixel_size = pixel_size
+    self._render_data = (
+        mjtpu.precompute_render_data(self.model) if pixel_obs else None
+    )
 
   @property
   def action_size(self) -> int:
@@ -93,6 +109,14 @@ class MjtpuEnv:
         qvel=qvel.astype(self._d0.qpos.dtype),
     )
 
+  def _pixels(self, data: Data) -> jax.Array:
+    if not self.pixel_obs:
+      return jnp.zeros((0,), data.qpos.dtype)
+    h, w = self.pixel_size
+    return mjtpu.render(
+        self.model, data, width=w, height=h, camera=0, rd=self._render_data
+    )
+
   def reset(self, key: jax.Array) -> State:
     key, sub = jax.random.split(key)
     data = self._noisy_init(sub)
@@ -106,6 +130,7 @@ class MjtpuEnv:
         done=jnp.zeros((), bool),
         key=key,
         steps=jnp.zeros((), jnp.int32),
+        pixels=self._pixels(data),
     )
 
   def step(self, state: State, action: jax.Array) -> State:
@@ -127,7 +152,13 @@ class MjtpuEnv:
     steps = jnp.where(done, 0, steps)
     obs = self._obs(data)
     return State(
-        data=data, obs=obs, reward=reward, done=done, key=key, steps=steps
+        data=data,
+        obs=obs,
+        reward=reward,
+        done=done,
+        key=key,
+        steps=steps,
+        pixels=self._pixels(data),
     )
 
   # -- per-env definitions ---------------------------------------------------

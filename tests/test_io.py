@@ -1,0 +1,47 @@
+"""IO round-trips (reference test/io_test.py, device_test.py)."""
+
+import jax
+import jax.numpy as jnp
+import mujoco
+import numpy as np
+import pytest
+
+import mjtpu
+from tests.conftest import load_mj
+
+
+def test_get_data_into_roundtrip():
+  mjm = load_mj("spheres.xml")
+  m = mjtpu.put_model(mjm)
+  d = mjtpu.make_data(m)
+  step = jax.jit(mjtpu.step)
+  for _ in range(300):
+    d = step(m, d)
+  out = mujoco.MjData(mjm)
+  mjtpu.get_data_into(out, m, d)
+  np.testing.assert_allclose(out.qpos, np.asarray(d.qpos), atol=1e-12)
+  np.testing.assert_allclose(out.qvel, np.asarray(d.qvel), atol=1e-12)
+  np.testing.assert_allclose(out.xpos, np.asarray(d.xpos), atol=1e-12)
+  # settled spheres: two active floor contacts written back
+  assert out.ncon >= 2
+  assert (out.contact.dist[: out.ncon] < 0.01).all()
+
+
+def test_put_data_roundtrip():
+  mjm = load_mj("pendulum.xml")
+  mjd = mujoco.MjData(mjm)
+  rng = np.random.default_rng(0)
+  mjd.qpos[:] = rng.uniform(-1, 1, mjm.nq)
+  mjd.qvel[:] = rng.uniform(-1, 1, mjm.nv)
+  m = mjtpu.put_model(mjm)
+  d = mjtpu.put_data(m, mjd)
+  np.testing.assert_allclose(np.asarray(d.qpos), mjd.qpos)
+  np.testing.assert_allclose(np.asarray(d.qvel), mjd.qvel)
+
+
+def test_validation_rejects():
+  xml = """<mujoco><option integrator="implicit"/><worldbody>
+    <body><joint type="hinge"/><geom type="sphere" size="0.1"/></body>
+  </worldbody></mujoco>"""
+  with pytest.raises(NotImplementedError):
+    mjtpu.put_model(mujoco.MjModel.from_xml_string(xml))
