@@ -30,9 +30,11 @@ from mjtpu._src.io import (
     device_get_into,
     device_put,
     get_data_into,
+    load_checkpoint,
     make_data,
     put_data,
     put_model,
+    save_checkpoint,
 )
 from mjtpu._src.log import mujoco_logger
 from mjtpu._src.math import random_unit_quat

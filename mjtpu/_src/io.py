@@ -404,3 +404,25 @@ def get_data_into(result: mujoco.MjData, m: Model, d: Data) -> None:
 
 
 device_get_into = get_data_into
+
+
+def save_checkpoint(path: str, d: Data) -> None:
+  """Saves a Data pytree (single or batched) to an .npz checkpoint.
+
+  Data is a pure array pytree, so engine-level checkpoint/resume is plain
+  serialization (SURVEY.md §5 — the reference used torch.save the same way).
+  For multi-host sharded training state prefer orbax-checkpoint."""
+  leaves, treedef = jax.tree.flatten(d)
+  np.savez(path, *[np.asarray(x) for x in leaves])
+
+
+def load_checkpoint(path: str, like: Data) -> Data:
+  """Loads a Data checkpoint saved by save_checkpoint ('like' provides the
+  pytree structure, e.g. make_data(m) or a batched template)."""
+  leaves, treedef = jax.tree.flatten(like)
+  with np.load(path) as z:
+    new_leaves = [
+        jnp.asarray(z[f"arr_{i}"], dtype=leaves[i].dtype)
+        for i in range(len(leaves))
+    ]
+  return jax.tree.unflatten(treedef, new_leaves)

@@ -45,3 +45,17 @@ def test_validation_rejects():
   </worldbody></mujoco>"""
   with pytest.raises(NotImplementedError):
     mjtpu.put_model(mujoco.MjModel.from_xml_string(xml))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+  mjm = load_mj("pendulum.xml")
+  m = mjtpu.put_model(mjm)
+  d = mjtpu.make_data(m)
+  d = jax.jit(mjtpu.step)(m, d)
+  path = str(tmp_path / "ckpt.npz")
+  mjtpu.save_checkpoint(path, d)
+  d2 = mjtpu.load_checkpoint(path, mjtpu.make_data(m))
+  np.testing.assert_allclose(np.asarray(d2.qpos), np.asarray(d.qpos))
+  # resume stepping from the checkpoint
+  d3 = jax.jit(mjtpu.step)(m, d2)
+  assert np.isfinite(np.asarray(d3.qpos)).all()

@@ -1,0 +1,54 @@
+"""Env-batch sharding over a virtual 8-device CPU mesh (SURVEY.md §2.8 —
+the multi-chip capability the reference lacks)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mjtpu
+from mjtpu import parallel
+from tests.conftest import load_mj
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+  if len(jax.devices()) < 8:
+    pytest.skip("needs 8 (virtual) devices")
+  return parallel.make_mesh(jax.devices()[:8])
+
+
+def test_sharded_step_matches_unsharded(mesh8):
+  mjm = load_mj("cartpole.xml")
+  m = mjtpu.put_model(mjm)
+  d0 = mjtpu.make_data(m)
+  rng = np.random.default_rng(0)
+  qpos = jnp.asarray(rng.uniform(-0.1, 0.1, (16, mjm.nq)))
+  batch = jax.vmap(lambda q: d0.replace(qpos=q))(qpos)
+
+  # unsharded reference
+  ref = jax.jit(jax.vmap(mjtpu.step, in_axes=(None, 0)))(m, batch)
+
+  # sharded over the mesh
+  m_rep = parallel.replicate_model(m, mesh8)
+  batch_sh = parallel.shard_batch(batch, mesh8)
+  step_fn = parallel.sharded_step(m_rep, mesh8)
+  out = step_fn(batch_sh)
+
+  np.testing.assert_allclose(
+      np.asarray(out.qpos), np.asarray(ref.qpos), atol=1e-12
+  )
+  # output stays sharded over the env axis
+  assert len(out.qpos.sharding.device_set) == 8
+
+
+def test_sharded_rollout_stable(mesh8):
+  mjm = load_mj("spheres.xml")
+  m = parallel.replicate_model(mjtpu.put_model(mjm), mesh8)
+  d0 = mjtpu.make_data(m)
+  batch = jax.vmap(lambda i: d0)(jnp.arange(16))
+  batch = parallel.shard_batch(batch, mesh8)
+  step_fn = parallel.sharded_step(m, mesh8)
+  for _ in range(50):
+    batch = step_fn(batch)
+  assert np.isfinite(np.asarray(batch.qpos)).all()
