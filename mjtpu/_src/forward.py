@@ -26,6 +26,7 @@ from mjtpu._src import (
     solver,
     support,
 )
+from mjtpu._src.precision import matmul_precision
 from mjtpu._src.types import (
     BiasType,
     Data,
@@ -51,6 +52,7 @@ def _check_state(m: Model, d: Data) -> Data:
   return d.replace(qpos=qpos, qvel=qvel, qacc=qacc, qacc_warmstart=warm)
 
 
+@matmul_precision
 def fwd_position(m: Model, d: Data) -> Data:
   """Position-dependent computations (mj_fwdPosition)."""
   d = smooth.kinematics(m, d)
@@ -70,6 +72,7 @@ def fwd_position(m: Model, d: Data) -> Data:
 _position = fwd_position
 
 
+@matmul_precision
 def fwd_velocity(m: Model, d: Data) -> Data:
   """Velocity-dependent computations (mj_fwdVelocity)."""
   actuator_velocity = d.actuator_moment @ d.qvel
@@ -84,6 +87,7 @@ def fwd_velocity(m: Model, d: Data) -> Data:
 _velocity = fwd_velocity
 
 
+@matmul_precision
 def fwd_actuation(m: Model, d: Data) -> Data:
   """Actuator forces and activation derivatives (mj_fwdActuation)."""
   dtype = d.qpos.dtype
@@ -221,6 +225,7 @@ def fwd_actuation(m: Model, d: Data) -> Data:
 _actuation = fwd_actuation
 
 
+@matmul_precision
 def fwd_acceleration(m: Model, d: Data) -> Data:
   """Smooth (unconstrained) acceleration (mj_fwdAcceleration)."""
   qfrc_applied = d.qfrc_applied + support.xfrc_accumulate(m, d)
@@ -232,6 +237,7 @@ def fwd_acceleration(m: Model, d: Data) -> Data:
 _acceleration = fwd_acceleration
 
 
+@matmul_precision
 def forward(m: Model, d: Data, fixed_iterations: bool = False) -> Data:
   """Full forward dynamics (mj_forward)."""
   d = fwd_position(m, d)
@@ -328,6 +334,7 @@ def _advance(
   )
 
 
+@matmul_precision
 def euler(m: Model, d: Data) -> Data:
   """Semi-implicit Euler with optional implicit joint damping (mj_Euler)."""
   qacc = d.qacc
@@ -338,6 +345,7 @@ def euler(m: Model, d: Data) -> Data:
   return _advance(m, d, d.act_dot, qacc)
 
 
+@matmul_precision
 def rungekutta4(m: Model, d: Data) -> Data:
   """4th-order Runge-Kutta (mj_RungeKutta, reference forward.py:331-370)."""
   A = (0.5, 0.5, 1.0)
@@ -403,6 +411,7 @@ def _integrate_pos_only(m: Model, d: Data, qpos0, qvel, dt) -> Data:
   return d.replace(qpos=qpos)
 
 
+@matmul_precision
 def implicit(m: Model, d: Data) -> Data:
   """Implicit-in-velocity fast integrator (mj_implicit, ImplicitFast)."""
   from mjtpu._src import derivative
@@ -428,6 +437,7 @@ def _single_step(m: Model, d: Data, fixed_iterations: bool) -> Data:
   raise NotImplementedError(m.opt.integrator)
 
 
+@matmul_precision
 def step(m: Model, d: Data, fixed_iterations: bool = False) -> Data:
   """Advances the simulation one timestep (mj_step).
 

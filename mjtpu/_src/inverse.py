@@ -13,6 +13,7 @@ import numpy as np
 
 from mjtpu._src import collision_driver, constraint, forward, math, sensor, smooth, solver, support
 from mjtpu._src.types import Data, DisableBit, EnableBit, IntegratorType, Model
+from mjtpu._src.precision import matmul_precision
 
 
 def _inv_constraint(m: Model, d: Data) -> Data:
@@ -61,6 +62,7 @@ def discrete_acc(m: Model, d: Data) -> jax.Array:
   return qacc
 
 
+@matmul_precision
 def inverse(m: Model, d: Data) -> Data:
   """Inverse dynamics (mj_inverse): given (qpos, qvel, qacc), computes
   qfrc_inverse = the applied generalized force that would produce qacc."""

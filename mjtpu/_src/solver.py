@@ -24,6 +24,7 @@ import numpy as np
 
 from mjtpu._src import math, smooth, support
 from mjtpu._src.types import ConeType, Data, DisableBit, Model, SolverType
+from mjtpu._src.precision import matmul_precision
 
 
 class _Context(NamedTuple):
@@ -222,6 +223,7 @@ def _rescale(m: Model, value):
   return value / (m.stat.meaninertia * max(1, m.nv))
 
 
+@matmul_precision
 def solve(m: Model, d: Data, fixed_iterations: bool = False) -> Data:
   """Solves for constrained qacc (mj_fwdConstraint via CG/Newton)."""
   meta = _efc_meta(m)
