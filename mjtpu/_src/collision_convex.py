@@ -19,10 +19,39 @@ import jax.numpy as jnp
 import numpy as np
 
 from mjtpu._src import math
+from mjtpu._src.diff_config import get_diff_config
 from mjtpu._src.types import ConvexMesh
 
 # small preference for face axes over edge axes (numerical-tie stability)
 _EDGE_TOL = 1e-10
+
+
+def _smooth_k():
+  """Sigmoid sharpness for case blending, or None outside diff mode.
+
+  Read at trace time: the reference's smooth_collisions sigmoid-blended
+  case switches (diff_config.py:43-134); a model traced inside
+  ``differentiable_mode(smooth_collisions=True)`` blends discrete SAT
+  case switches (face/edge winner, inside/outside) so contact dist,
+  normal and position stay differentiable across the transition.
+  Contact-slot activation (manifold point count) stays discrete; CFD's
+  soft activation covers appearing/vanishing contacts.
+  """
+  dc = get_diff_config()
+  if dc is not None and dc.smooth_collisions:
+    return dc.smooth_sharpness
+  return None
+
+
+def _blend(k, s, a, b):
+  """where(s > 0, a, b), sigmoid-blended when smoothing is active."""
+  if k is None:
+    return jnp.where(s > 0, a, b)
+  return math.sigmoid_blend(s, a, b, k)
+
+
+def _renorm(n):
+  return n / jnp.maximum(1e-12, math.safe_norm(n))
 
 
 def _hull_consts(hull: ConvexMesh, dtype):
@@ -63,7 +92,13 @@ def _closest_on_face(face_verts, n, p):
   seg_pts = jax.vmap(math.closest_segment_point, in_axes=(0, 0, None))(a, b, p)
   d2 = jnp.sum((seg_pts - p[None, :]) ** 2, axis=1)
   best = seg_pts[jnp.argmin(d2)]
-  return jnp.where(inside_all, p, best)
+  k = _smooth_k()
+  if k is None:
+    return jnp.where(inside_all, p, best)
+  # signed outside margin in length units (>0 outside any side plane)
+  e_hat = edge_out / jnp.maximum(1e-12, math.safe_norm(edge_out, axis=1))[:, None]
+  margin = jnp.max(jnp.einsum("kd,kd->k", p[None, :] - a, e_hat))
+  return math.sigmoid_blend(-margin, p, best, k)
 
 
 def sphere_convex(pos1, mat1, size1, pos2, mat2, size2, hull2: ConvexMesh):
@@ -77,8 +112,16 @@ def sphere_convex(pos1, mat1, size1, pos2, mat2, size2, hull2: ConvexMesh):
   # deepest face: max signed distance of c over face planes
   d_f = jnp.einsum("fd,fd->f", face_normal, c[None, :] - face_vert[:, 0])
   f = jnp.argmax(d_f)
-  sep = d_f[f]
-  nf = face_normal[f]
+  k0 = _smooth_k()
+  if k0 is None:
+    sep = d_f[f]
+    nf = face_normal[f]
+  else:
+    # soft face-max: the hard argmax kinks at face ties (box edges/corners);
+    # softmax weights keep sep and the face normal smooth across them
+    w = jax.nn.softmax(k0 * d_f)
+    sep = jnp.dot(w, d_f)
+    nf = _renorm(w @ face_normal)
   inside = sep < 0
 
   # closest point on that face's polygon to the projected center
@@ -88,8 +131,13 @@ def sphere_convex(pos1, mat1, size1, pos2, mat2, size2, hull2: ConvexMesh):
   to_closest = closest - c
   dir_out, dist_c = math.normalize_with_norm(to_closest)
   # outside: normal sphere->hull along to_closest; inside: push out along -nf
-  n_local = jnp.where(inside, nf, dir_out)
-  dist = jnp.where(inside, sep, dist_c) - r
+  k = _smooth_k()
+  if k is None:
+    n_local = jnp.where(inside, nf, dir_out)
+    dist = jnp.where(inside, sep, dist_c) - r
+  else:
+    n_local = _renorm(math.sigmoid_blend(-sep, nf, dir_out, k))
+    dist = math.sigmoid_blend(-sep, sep, dist_c, k) - r
 
   n_world = mat2 @ n_local
   pos = pos1 + n_world * (r + 0.5 * dist)
@@ -162,14 +210,22 @@ def capsule_convex(pos1, mat1, size1, pos2, mat2, size2, hull2: ConvexMesh):
   t_lo = jnp.where(degenerate, t_mid, jnp.clip(t_lo, 0.0, 1.0))
   t_hi = jnp.where(degenerate, t_mid, jnp.clip(t_hi, 0.0, 1.0))
 
+  k = _smooth_k()
+  s_edge = sep_edge[be] - sep_face[bf]  # > 0 -> edge case wins
   dists, poss, frames = [], [], []
   for idx, t in enumerate((t_lo, t_hi)):
     p_seg = a + t * ab
     d_face = jnp.dot(nf, p_seg - fv[0]) - r
     # contact normal points from capsule (geom1) into hull (geom2)
-    p_use = jnp.where(use_edge, p_edge, p_seg + (-nf) * (r + 0.5 * d_face))
-    d_use = jnp.where(use_edge, d_edge, d_face)
-    n_use = jnp.where(use_edge, -n_edge, -nf)
+    p_face_c = p_seg + (-nf) * (r + 0.5 * d_face)
+    if k is None or idx == 1:
+      p_use = jnp.where(use_edge, p_edge, p_face_c)
+      d_use = jnp.where(use_edge, d_edge, d_face)
+      n_use = jnp.where(use_edge, -n_edge, -nf)
+    else:
+      p_use = math.sigmoid_blend(s_edge, p_edge, p_face_c, k)
+      d_use = math.sigmoid_blend(s_edge, d_edge, d_face, k)
+      n_use = _renorm(math.sigmoid_blend(s_edge, -n_edge, -nf, k))
     if idx == 1:  # edge contact occupies one slot only
       d_use = jnp.where(use_edge, 1.0, d_use)
     n_world = mat2 @ n_use
@@ -356,10 +412,17 @@ def convex_convex(
 
   d_a, p_a = manifold(f1[bf1], n1[bf1], f2, n2)
   d_b, p_b = manifold(f2[bf2], n2[bf2], f1, n1)
+  k = _smooth_k()
+  s_ref = sep1[bf1] - sep2[bf2]  # > 0 -> hull1 is the reference face
   # for hull2-reference the contact normal (geom1 -> geom2) is -ref_n
-  n_face = jnp.where(ref_is_1, n1[bf1], -n2[bf2])
-  d_face = jnp.where(ref_is_1, d_a, d_b)
-  p_face = jnp.where(ref_is_1, p_a, p_b)
+  if k is None:
+    n_face = jnp.where(ref_is_1, n1[bf1], -n2[bf2])
+    d_face = jnp.where(ref_is_1, d_a, d_b)
+    p_face = jnp.where(ref_is_1, p_a, p_b)
+  else:
+    n_face = _renorm(math.sigmoid_blend(s_ref, n1[bf1], -n2[bf2], k))
+    d_face = math.sigmoid_blend(s_ref, d_a, d_b, k)
+    p_face = math.sigmoid_blend(s_ref, p_a, p_b, k)
 
   dist = jnp.where(
       use_edge,
@@ -371,6 +434,14 @@ def convex_convex(
       jnp.concatenate([edge_pos[None, :], jnp.zeros((3, 3), dtype)]),
       p_face,
   )
-  n_c = jnp.where(use_edge, n_edge, n_face)
+  s_e = best_edge_sep - best_face_sep
+  if k is None:
+    n_c = jnp.where(use_edge, n_edge, n_face)
+  else:
+    # blend the deepest slot's dist/pos/normal across the edge/face switch;
+    # slots 1-3 keep the hard edge deactivation (count is discrete)
+    dist = dist.at[0].set(math.sigmoid_blend(s_e, edge_dist, d_face[0], k))
+    pos = pos.at[0].set(math.sigmoid_blend(s_e, edge_pos, p_face[0], k))
+    n_c = _renorm(math.sigmoid_blend(s_e, n_edge, n_face, k))
   frame = jnp.broadcast_to(math.make_frame(n_c), (4, 3, 3))
   return dist, pos, frame

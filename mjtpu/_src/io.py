@@ -143,6 +143,9 @@ def put_model(m: mujoco.MjModel, dtype=None, _full_compat: bool = False) -> Mode
       "geom_type", "geom_contype", "geom_conaffinity", "geom_condim",
       "geom_bodyid", "geom_dataid", "geom_group", "geom_matid",
       "geom_priority",
+      "mat_texid", "mat_texrepeat", "mat_texuniform", "mat_rgba",
+      "tex_type", "tex_adr", "tex_height", "tex_width", "tex_nchannel",
+      "tex_data",
       "site_bodyid", "site_type",
       "cam_mode", "cam_bodyid", "cam_targetbodyid", "cam_fovy",
       "light_mode", "light_bodyid", "light_targetbodyid",

@@ -378,3 +378,16 @@ def random_unit_quat(key: jax.Array, shape=()) -> jax.Array:
       [r2 * jnp.cos(t2), r1 * jnp.sin(t1), r1 * jnp.cos(t1), r2 * jnp.sin(t2)],
       axis=-1,
   )
+
+
+def sigmoid_blend(s, a, b, sharpness):
+  """Smooth ``where(s > 0, a, b)``: sigmoid(k·s)·a + (1−sigmoid)·b.
+
+  Used by the collision functions under ``differentiable_mode`` with
+  ``smooth_collisions`` (reference diff_config smooth case-blending) so
+  case switches stay differentiable across the transition.
+  """
+  w = jax.nn.sigmoid(sharpness * s)
+  if hasattr(a, "ndim") and a.ndim > getattr(s, "ndim", 0):
+    w = jnp.expand_dims(w, tuple(range(getattr(s, "ndim", 0), a.ndim)))
+  return w * a + (1.0 - w) * b

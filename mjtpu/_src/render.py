@@ -6,8 +6,12 @@ render_batch).  TPU-native: the pixel grid is a single vmapped ray kernel —
 embarrassingly parallel, fuses into a handful of XLA ops; geometry tables
 are trace-time constants from precompute_render_data.
 
-Textures are approximated by per-geom rgba (material sampling lands with the
-asset pipeline).
+Texture support (reference render.py texture sampling): 2d material
+textures are sampled nearest-neighbor with wrap for PLANE (xy), BOX
+(dominant-axis projection) and SPHERE (equirectangular) geoms; other
+textured geoms fall back to their material rgba.  Skybox textures shade
+sky pixels via an equirectangular lookup (cube layouts are approximated;
+MuJoCo's builtin vertical-gradient skyboxes reproduce closely).
 """
 
 from __future__ import annotations
@@ -31,33 +35,111 @@ class RenderData:
   geom_types: tuple          # GeomType per visible geom
   mesh_tris: dict            # geom id -> (nface, 3, 3) local triangles (numpy)
   rgba: np.ndarray           # (nvis, 4)
+  textures: dict = dataclasses.field(default_factory=dict)
+  #   vis index k -> ((H, W, 3) float image, (2,) repeat, uniform flag)
+  sky_tex: Any = None        # (H, W, 3) float skybox image, or None
+
+
+_DEFAULT_RGBA = np.array([0.5, 0.5, 0.5, 1.0])
+_TEXROLE_RGB = 1  # mjtTextureRole: RGB
+
+
+def _decode_tex(m: Model, tid: int) -> np.ndarray:
+  """Texture tid's pixels as (H, W, 3) float in [0, 1]."""
+  h, w = int(m.tex_height[tid]), int(m.tex_width[tid])
+  nc = int(m.tex_nchannel[tid])
+  adr = int(m.tex_adr[tid])
+  img = np.asarray(m.tex_data[adr : adr + h * w * nc], np.float32)
+  img = img.reshape(h, w, nc) / 255.0
+  if nc == 1:
+    img = np.repeat(img, 3, axis=2)
+  return img[:, :, :3]
 
 
 def precompute_render_data(m: Model, geom_groups=None) -> RenderData:
-  """Packs visible-geom tables (reference render.py:33-115)."""
+  """Packs visible-geom + texture tables (reference render.py:33-115)."""
   ids, types, rgba = [], [], []
-  tris = {}
+  tris, textures = {}, {}
+  nmat = 0 if m.mat_texid is None else len(np.atleast_2d(m.mat_texid))
   for g in range(m.ngeom):
     if geom_groups is not None:
       grp = min(max(int(m.geom_group[g]), 0), 5)
       if not geom_groups[grp]:
         continue
     t = int(m.geom_type[g])
+    k = len(ids)
     ids.append(g)
     types.append(t)
-    rgba.append(np.asarray(m.geom_rgba)[g])
+    g_rgba = np.asarray(m.geom_rgba)[g]
+    mat = int(m.geom_matid[g])
+    if mat >= 0 and nmat:
+      if np.allclose(g_rgba, _DEFAULT_RGBA):  # material rgba unless overridden
+        g_rgba = np.asarray(m.mat_rgba[mat], np.float64)
+      tid = int(np.atleast_2d(m.mat_texid)[mat, _TEXROLE_RGB])
+      if tid >= 0 and int(m.tex_type[tid]) == 0:  # 2d textures only
+        textures[k] = (
+            _decode_tex(m, tid),
+            np.asarray(m.mat_texrepeat[mat], np.float64),
+            bool(np.atleast_1d(m.mat_texuniform)[mat]),
+        )
+    rgba.append(g_rgba)
     if t == GeomType.MESH:
       mid = int(m.geom_dataid[g])
       fa, fn = int(m.mesh_faceadr[mid]), int(m.mesh_facenum[mid])
       va = int(m.mesh_vertadr[mid])
       faces = m.mesh_face[fa : fa + fn]
       tris[g] = m.mesh_vert[va + faces]
+  sky = None
+  if m.tex_type is not None:
+    for tid in range(len(np.atleast_1d(m.tex_type))):
+      if int(m.tex_type[tid]) == 2:  # skybox
+        sky = _decode_tex(m, tid)
+        break
   return RenderData(
       geom_ids=tuple(ids),
       geom_types=tuple(types),
       mesh_tris=tris,
       rgba=np.stack(rgba) if rgba else np.zeros((0, 4)),
+      textures=textures,
+      sky_tex=sky,
   )
+
+
+def _sample_tex(img, uv):
+  """Nearest-neighbor wrap sample: img (H, W, 3), uv in texture units."""
+  h, w = img.shape[0], img.shape[1]
+  ix = jnp.mod(jnp.floor(uv[0] * w).astype(jnp.int32), w)
+  iy = jnp.mod(jnp.floor(uv[1] * h).astype(jnp.int32), h)
+  return img[iy, ix]
+
+
+def _tex_albedo(gtype: int, size, p, img, repeat, uniform, base):
+  """Albedo at local hit point p for a 2d-textured geom."""
+  size = np.asarray(size)
+  if gtype == GeomType.PLANE:
+    scale = repeat.copy()
+    if not uniform:
+      ext = np.where(size[:2] > 0, 2.0 * size[:2], 1.0)
+      scale = repeat / ext
+    uv = p[:2] * jnp.asarray(scale, p.dtype)
+    return _sample_tex(img, uv)
+  if gtype == GeomType.BOX:
+    r = p / jnp.asarray(np.maximum(size, 1e-12), p.dtype)
+    ax = jnp.argmax(jnp.abs(r))
+    # project onto the two non-dominant axes (static unroll over 3 cases)
+    uvs = jnp.stack([
+        jnp.stack([r[1], r[2]]), jnp.stack([r[0], r[2]]),
+        jnp.stack([r[0], r[1]]),
+    ])
+    uv = uvs[ax] * 0.5 * jnp.asarray(repeat, p.dtype)
+    return _sample_tex(img, uv)
+  if gtype == GeomType.SPHERE:
+    d = p / jnp.maximum(1e-12, jnp.linalg.norm(p))
+    u = jnp.arctan2(d[1], d[0]) / (2.0 * jnp.pi) + 0.5
+    v = jnp.arccos(jnp.clip(d[2], -1.0, 1.0)) / jnp.pi
+    uv = jnp.stack([u, v]) * jnp.asarray(repeat, p.dtype)
+    return _sample_tex(img, uv)
+  return base  # other geom types: flat material color
 
 
 def _hit_normal(gtype: int, size, lp, lv, t, tris=None):
@@ -95,9 +177,10 @@ def _hit_normal(gtype: int, size, lp, lv, t, tris=None):
 
 
 def _trace(m: Model, d: Data, rd: RenderData, pnt, vec):
-  """Nearest hit along a ray: (t, vis_index, world normal)."""
+  """Nearest hit along a ray: (t, vis_index, world normal, albedo)."""
   dtype = pnt.dtype
-  ts, normals = [], []
+  rgba = jnp.asarray(rd.rgba, dtype=dtype)
+  ts, normals, albedos = [], [], []
   for k, g in enumerate(rd.geom_ids):
     gtype = rd.geom_types[k]
     pos, mat = d.geom_xpos[g], d.geom_xmat[g]
@@ -112,10 +195,18 @@ def _trace(m: Model, d: Data, rd: RenderData, pnt, vec):
     n_local = _hit_normal(gtype, m.geom_size[g], lp, lv, jnp.where(jnp.isfinite(t), t, 0.0), tris)
     ts.append(t)
     normals.append(mat @ n_local)
+    base = rgba[k, :3]
+    if k in rd.textures:
+      img, repeat, uniform = rd.textures[k]
+      p_hit = lp + jnp.where(jnp.isfinite(t), t, 0.0) * lv
+      base = _tex_albedo(gtype, np.asarray(m.geom_size_np)[g], p_hit,
+                         jnp.asarray(img, dtype=dtype), repeat, uniform, base)
+    albedos.append(base)
   ts = jnp.stack(ts)
   normals = jnp.stack(normals)
+  albedos = jnp.stack(albedos)
   best = jnp.argmin(ts)
-  return ts[best], best, normals[best]
+  return ts[best], best, normals[best], albedos[best]
 
 
 def render(
@@ -154,13 +245,15 @@ def render(
   dirs = dirs @ cam_mat.T
   dirs = dirs / jnp.linalg.norm(dirs, axis=1, keepdims=True)
 
-  rgba = jnp.asarray(rd.rgba, dtype=dtype)
   ldir = math.normalize(jnp.asarray(light_dir, dtype=dtype))
 
+  sky_img = (
+      jnp.asarray(rd.sky_tex, dtype=dtype) if rd.sky_tex is not None else None
+  )
+
   def shade(vec):
-    t, vis, n = _trace(m, d, rd, cam_pos, vec)
+    t, vis, n, albedo = _trace(m, d, rd, cam_pos, vec)
     hit = jnp.isfinite(t)
-    albedo = rgba[vis, :3]
     if shading == "flat":
       color = albedo
     else:
@@ -170,13 +263,18 @@ def render(
       shadow = jnp.ones((), dtype)
       if shadows:
         p_hit = cam_pos + t * vec + 1e-4 * n
-        t_s, _, _ = _trace(m, d, rd, p_hit, -ldir)
+        t_s, _, _, _ = _trace(m, d, rd, p_hit, -ldir)
         shadow = jnp.where(jnp.isfinite(t_s), 0.4, 1.0)
       color = albedo * (0.25 + 0.65 * lambert * shadow) + 0.3 * spec * shadow
     if fog > 0:
       fog_w = jnp.clip(t * fog, 0.0, 1.0)
       color = color * (1 - fog_w) + fog_w * jnp.asarray([0.8, 0.85, 0.9], dtype)
-    sky = jnp.asarray([0.55, 0.7, 0.9], dtype)
+    if sky_img is not None:
+      u = jnp.arctan2(vec[1], vec[0]) / (2.0 * jnp.pi) + 0.5
+      v = 0.5 - jnp.arcsin(jnp.clip(vec[2], -1.0, 1.0)) / jnp.pi
+      sky = _sample_tex(sky_img, jnp.stack([u, v]))
+    else:
+      sky = jnp.asarray([0.55, 0.7, 0.9], dtype)
     return jnp.where(hit, jnp.clip(color, 0.0, 1.0), sky)
 
   img = jax.vmap(shade)(dirs).reshape(h, w, 3)

@@ -418,6 +418,17 @@ class Model:
   geom_group: np.ndarray = static(None)
   geom_matid: np.ndarray = static(None)
   geom_priority: np.ndarray = static(None)
+  # ---- materials / textures (render-only; host-static) ----
+  mat_texid: np.ndarray = static(None)      # (nmat, nroles) role 1 = RGB
+  mat_texrepeat: np.ndarray = static(None)  # (nmat, 2)
+  mat_texuniform: np.ndarray = static(None)
+  mat_rgba: np.ndarray = static(None)
+  tex_type: np.ndarray = static(None)       # 2d / cube / skybox
+  tex_adr: np.ndarray = static(None)
+  tex_height: np.ndarray = static(None)
+  tex_width: np.ndarray = static(None)
+  tex_nchannel: np.ndarray = static(None)
+  tex_data: np.ndarray = static(None)       # flat uint8
   geom_solmix: jax.Array = None
   geom_solref: jax.Array = None
   geom_solimp: jax.Array = None
