@@ -27,6 +27,7 @@ from mjtpu._src import (
     support,
 )
 from mjtpu._src.precision import matmul_precision
+from mjtpu.ops import fused
 from mjtpu._src.types import (
     BiasType,
     Data,
@@ -341,7 +342,7 @@ def euler(m: Model, d: Data) -> Data:
   if m.has_dof_damping and not (m.opt.disableflags & DisableBit.EULERDAMP):
     mh = d.qM + m.opt.timestep * jnp.diag(m.dof_damping)
     qfrc = d.qfrc_smooth + d.qfrc_constraint
-    qacc = math.cho_solve(math.safe_cholesky(mh), qfrc)
+    qacc = fused.chol_solve(mh, qfrc)
   return _advance(m, d, d.act_dot, qacc)
 
 

@@ -265,7 +265,8 @@ def transform_inert(i: jax.Array, pos: jax.Array, rot: jax.Array, mass: jax.Arra
 def closest_segment_point(a: jax.Array, b: jax.Array, pt: jax.Array) -> jax.Array:
   """Closest point on segment ab to point pt."""
   ab = b - a
-  t = jnp.dot(pt - a, ab) / (jnp.dot(ab, ab) + 1e-12)
+  # maximum (not +eps): XLA reassociates additive guards away at f32
+  t = jnp.dot(pt - a, ab) / jnp.maximum(jnp.dot(ab, ab), 1e-12)
   return a + jnp.clip(t, 0.0, 1.0) * ab
 
 
@@ -292,7 +293,12 @@ def closest_segment_to_segment_points(a0, a1, b0, b1):
   dirb_dot_trans = jnp.dot(dir_b, trans)
   denom = 1.0 - dira_dot_dirb * dira_dot_dirb
 
-  orig_t_a = (-dira_dot_trans + dira_dot_dirb * dirb_dot_trans) / (denom + 1e-12)
+  # maximum (not +eps): at f32 XLA reassociates (1 - d*d) + 1e-12 into
+  # (1 + 1e-12) - d*d == 1 - d*d, erasing the guard -> 0/0 for parallel
+  # segments under jit (found on parallel humanoid capsules)
+  orig_t_a = (-dira_dot_trans + dira_dot_dirb * dirb_dot_trans) / jnp.maximum(
+      denom, 1e-12
+  )
   orig_t_b = dirb_dot_trans + orig_t_a * dira_dot_dirb
   t_a = jnp.clip(orig_t_a, -half_len_a, half_len_a)
   t_b = jnp.clip(orig_t_b, -half_len_b, half_len_b)

@@ -25,6 +25,7 @@ import numpy as np
 from mjtpu._src import math, smooth, support
 from mjtpu._src.types import ConeType, Data, DisableBit, Model, SolverType
 from mjtpu._src.precision import matmul_precision
+from mjtpu.ops import fused
 
 
 class _Context(NamedTuple):
@@ -286,7 +287,7 @@ def solve(m: Model, d: Data, fixed_iterations: bool = False) -> Data:
         )
         hcone = jnp.where(middle, hcone, jnp.zeros_like(hcone))
         h = h + jblk.T @ hcone @ jblk
-      mgrad = math.cho_solve(math.safe_cholesky(h), grad)
+      mgrad = fused.chol_solve(h, grad)
     else:
       mgrad = smooth.solve_m(m, d, grad)
     return grad, mgrad

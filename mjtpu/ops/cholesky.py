@@ -39,7 +39,8 @@ def _chol_solve_kernel(a_ref, b_ref, x_ref):
   def factor_col(j, a):
     rowsel = (rows1 == j).astype(a.dtype)                          # (n, 1)
     col_j = jnp.sum(a * rowsel[None, :, :], axis=1)                # (n, B)
-    pivot = jnp.maximum(_MINVAL, jnp.sum(col_j * rowsel, axis=0))  # (B,)
+    minval = _MINVAL if a.dtype == jnp.float64 else 1e-9  # match safe_cholesky
+    pivot = jnp.maximum(minval, jnp.sum(col_j * rowsel, axis=0))   # (B,)
     d = jnp.sqrt(pivot)
     below = (rows1 > j).astype(a.dtype)                            # (n, 1)
     col = col_j / d[None, :] * below + d[None, :] * rowsel         # (n, B)

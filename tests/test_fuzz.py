@@ -67,3 +67,21 @@ def test_fuzz_boxes_stable(seed):
     d = step(m, d)
   assert np.isfinite(np.asarray(d.qpos)).all()
   assert np.abs(np.asarray(d.qvel)).max() < 100.0
+
+
+def test_f32_jit_parallel_capsules_finite():
+  """Regression: XLA reassociates additive epsilon guards at f32.
+
+  (1 - dab^2) + 1e-12 gets rewritten to (1 + 1e-12) - dab^2 == 1 - dab^2,
+  erasing the guard, so exactly-parallel capsule pairs (humanoid thighs at
+  qpos0) produced 0/0 -> NaN contact dist under jit at f32 — eager mode was
+  fine, f64 was fine, which is why trajectory parity never caught it.  The
+  guards are now jnp.maximum (math.py closest_segment_*)."""
+  import pathlib
+  mjm = mujoco.MjModel.from_xml_path(
+      str(pathlib.Path(mjtpu.__file__).parent / "zoo" / "assets" / "humanoid.xml"))
+  m = mjtpu.put_model(mjm, dtype=jnp.float32)
+  d = mjtpu.make_data(m)
+  d = jax.jit(mjtpu.step)(m, d)
+  assert np.isfinite(np.asarray(d.qpos)).all()
+  assert np.isfinite(np.asarray(d.contact.dist)).all()

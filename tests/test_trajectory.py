@@ -199,3 +199,11 @@ def test_max_contact_points():
   # spheres rest on the floor (the 4 deepest contacts carry the load)
   z = qpos[2::7]
   assert (z > 0.05).all() and (z < 0.45).all()
+
+
+def test_trajectory_big_nv_chain():
+  """40-dof serial chain parity (large-tree coverage; reference handles big
+  nv via its sparse LDL path — mjtpu stays dense + Pallas fused kernel,
+  see mjtpu/ops/fused.py)."""
+  worst = run_traj("chain40.xml", nsteps=60, tol=5e-7, kick=0.03)
+  assert worst < 5e-7
