@@ -93,7 +93,6 @@ class MjtpuEnv:
 
   @property
   def observation_size(self) -> int:
-    d = jax.eval_shape(lambda: self._obs(self._d0))()
     return int(np.prod(jax.eval_shape(self._obs, self._d0).shape))
 
   # -- episode logic ---------------------------------------------------------
