@@ -342,6 +342,8 @@ def safe_cholesky(a: jax.Array) -> jax.Array:
   matrices (massless dof chains) factor to large-but-finite results instead
   of NaN.  Right-looking outer-product form; batches cleanly under vmap."""
   n = a.shape[-1]
+  if n == 0:  # static-only model (nv=0): nothing to factor
+    return a
   # dtype-aware pivot floor: 1e-15 preserves f64 oracle parity; f32 needs a
   # larger floor or 1/sqrt(pivot) overflows downstream
   floor = MINVAL if a.dtype == jnp.float64 else 1e-9

@@ -230,6 +230,11 @@ def render(
   rd = rd or precompute_render_data(m)
   dtype = d.qpos.dtype
 
+  if not m.ncam:
+    raise ValueError(
+        "render() needs a <camera> in the model (indexing cam_xpos on a "
+        "camera-less model would silently read garbage)"
+    )
   cam_pos = d.cam_xpos[camera]
   cam_mat = d.cam_xmat[camera]
   fovy = float(m.cam_fovy[camera]) if m.ncam else 45.0
