@@ -1,0 +1,58 @@
+"""Disable-flag parity vs MuJoCo C (reference constraint_test.py /
+forward_test.py disable-flag oracles): each flag toggled on a model that
+exercises it, 50-step trajectory must still track mj_step at f64."""
+
+import jax.numpy as jnp
+import mujoco
+import numpy as np
+import pytest
+
+import mjtpu
+from tests.conftest import load_mj
+
+# (model, flag) pairs chosen so the flag actually changes the dynamics
+CASES = [
+    ("spheres.xml", "contact"),
+    ("spheres.xml", "constraint"),
+    ("spheres.xml", "gravity"),
+    ("spheres.xml", "warmstart"),
+    ("equality.xml", "equality"),
+    ("friction_tendon.xml", "frictionloss"),
+    ("friction_tendon.xml", "limit"),
+    ("friction_tendon.xml", "passive"),
+    ("cartpole.xml", "actuation"),
+    ("cartpole.xml", "clampctrl"),
+    ("pendulum.xml", "eulerdamp"),
+    ("pendulum.xml", "refsafe"),
+    ("capsules.xml", "filterparent"),
+]
+
+
+@pytest.mark.parametrize("model_name,flag", CASES)
+def test_disable_flag_parity(model_name, flag):
+  mjm = load_mj(model_name)
+  mjm.opt.disableflags |= getattr(
+      mujoco.mjtDisableBit, f"mjDSBL_{flag.upper()}"
+  )
+  mjd = mujoco.MjData(mjm)
+  rng = np.random.default_rng(1)
+  mjd.qpos[:] = mjm.qpos0 + rng.uniform(-0.05, 0.05, mjm.nq)
+  mjd.qvel[:] = rng.uniform(-0.05, 0.05, mjm.nv)
+  if mjm.nu:
+    mjd.ctrl[:] = rng.uniform(-1, 1, mjm.nu)
+
+  m = mjtpu.put_model(mjm)
+  d = mjtpu.make_data(m)
+  d = d.replace(
+      qpos=jnp.asarray(np.array(mjd.qpos)),
+      qvel=jnp.asarray(np.array(mjd.qvel)),
+      ctrl=jnp.asarray(np.array(mjd.ctrl)),
+  )
+  for i in range(50):
+    mujoco.mj_step(mjm, mjd)
+    d = mjtpu.step(m, d)
+    err = max(
+        np.abs(np.asarray(d.qpos) - mjd.qpos).max(),
+        np.abs(np.asarray(d.qvel) - mjd.qvel).max(),
+    )
+    assert err < 1e-8, f"{model_name} disable={flag} diverged at {i}: {err:.2e}"
