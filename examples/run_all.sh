@@ -1,0 +1,30 @@
+#!/usr/bin/env bash
+# Smoke-run every runnable example (headless-safe subset) sequentially.
+# The TPU admits one process at a time, so examples must not run in parallel.
+#
+# Usage (from the repo root):  bash examples/run_all.sh [quick]
+set -u -o pipefail
+cd "$(dirname "$0")/.."
+
+QUICK="${1:-}"
+if [ "$QUICK" = "quick" ]; then
+  STEPS=50; BATCHES="64"; NSTEPS=50
+else
+  STEPS=300; BATCHES="64 512 4096"; NSTEPS=200
+fi
+
+run() {
+  echo "=== $* ==="
+  if ! "$@"; then echo "FAILED: $*" >&2; FAILED=1; fi
+}
+
+FAILED=0
+run python examples/e2e_comparison.py --nsteps "$NSTEPS"
+run python examples/batched_comparison.py --nsteps "$NSTEPS" --batches $BATCHES
+run python examples/gymnasium_example.py
+run python examples/bench_throughput.py --batch 1024 --iters 5
+run python examples/policy_viewer_example.py --headless --steps "$STEPS"
+run python examples/satellite_video.py --steps "$STEPS" --size 128
+run python examples/train_ppo.py --num-envs 64 --rollout 8 --iters 2
+run python examples/train_sac.py --num-envs 32 --iters 5
+exit $FAILED

@@ -348,13 +348,25 @@ def put_data(m: Model, d: mujoco.MjData, dtype=None) -> Data:
   )
 
 
-def get_data_into(result: mujoco.MjData, m: Model, d: Data) -> None:
-  """Writes a (single-env) Data back into an MjData (reference
-  device_get_into, device.py:1119-1206).  State + kinematics + dynamics
-  outputs; contacts are written up to mjData's capacity."""
+def get_data_into(result, m: Model, d: Data) -> None:
+  """Writes a Data back into an MjData (reference device_get_into,
+  device.py:1119-1206).  State + kinematics + dynamics outputs; contacts
+  are written up to mjData's capacity.  A batched Data writes into a
+  list of MjData of matching length (reference's list-of-N path)."""
   batched = d.qpos.ndim > 1
   if batched:
-    raise ValueError("get_data_into takes a single env; index the batch first")
+    if not isinstance(result, (list, tuple)):
+      raise ValueError(
+          "batched Data requires a list of MjData of length "
+          f"{d.qpos.shape[0]}"
+      )
+    if len(result) != d.qpos.shape[0]:
+      raise ValueError(
+          f"need {d.qpos.shape[0]} MjData instances, got {len(result)}"
+      )
+    for i, res in enumerate(result):
+      get_data_into(res, m, jax.tree.map(lambda x: x[i], d))
+    return
 
   for name in (
       "time", "qpos", "qvel", "act", "qacc_warmstart", "ctrl",

@@ -1,0 +1,177 @@
+"""Per-row constraint-assembly parity vs MuJoCo C.
+
+Reference capability map: test/constraint_test.py — efc_J/efc_D/efc_aref/
+efc_frictionloss row parity via the nnz-row filter (its :63-87), per-type
+instantiation unit checks, refsafe. Our static row layout matches C's
+ordering (equality | friction | limit | contact), and inactive rows zero
+their Jacobians, so active rows align one-to-one after filtering — except
+contacts, whose ordering can differ (we sort by condim); those are checked
+through ordering-free aggregates that fully determine the solver problem.
+"""
+
+import jax.numpy as jnp
+import mujoco
+import numpy as np
+import pytest
+
+import mjtpu
+from tests.conftest import load_mj
+
+# models exercising each constraint type over a mj-driven trajectory
+MODELS = [
+    "equality.xml",        # connect/weld/joint equality
+    "weld.xml",
+    "friction_tendon.xml", # dof+tendon frictionloss, limits
+    "cartpole.xml",        # joint limits
+    "spheres.xml",         # condim3 contacts
+    "condim4_pyramidal.xml",
+    "condim4_elliptic.xml",
+    "condim6_elliptic.xml",
+]
+
+EPS = 1e-8
+
+
+def _mj_efc_dense(mjm, mjd):
+  """C-side efc_J as a dense (nefc, nv) array."""
+  if mujoco.mj_isSparse(mjm):
+    j = np.zeros((mjd.nefc, mjm.nv))
+    mujoco.mju_sparse2dense(
+        j, mjd.efc_J, mjd.efc_J_rownnz, mjd.efc_J_rowadr, mjd.efc_J_colind
+    )
+    return j
+  return np.array(mjd.efc_J).reshape(mjd.nefc, mjm.nv)
+
+
+def _setup(name, seed):
+  mjm = load_mj(name)
+  mjd = mujoco.MjData(mjm)
+  rng = np.random.default_rng(seed)
+  mjd.qpos[:] = mjm.qpos0 + rng.uniform(-0.1, 0.1, mjm.nq)
+  mjd.qvel[:] = rng.uniform(-0.3, 0.3, mjm.nv)
+  m = mjtpu.put_model(mjm)
+  d = mjtpu.make_data(m)
+  return mjm, mjd, m, d
+
+
+def _our_efc(m, d, mjd):
+  d = d.replace(
+      qpos=jnp.asarray(np.array(mjd.qpos)), qvel=jnp.asarray(np.array(mjd.qvel))
+  )
+  return mjtpu.fwd_position(m, d)
+
+
+@pytest.mark.parametrize("name", MODELS)
+def test_efc_rows(name):
+  """Active efc rows match C one-to-one (non-contact) / as aggregates."""
+  from mjtpu._src.support import constraint_sizes
+
+  mjm, mjd, m, d0 = _setup(name, seed=3)
+  # our static layout: [eq | friction | limit | contact]; inactive static
+  # rows zero their J, so the nnz filter aligns active rows with C's
+  ne_s, nf_s, nl_s, _, _ = constraint_sizes(m)
+  start_con = ne_s + nf_s + nl_s
+  for i in range(12):
+    for _ in range(3):
+      mujoco.mj_step(mjm, mjd)
+    mujoco.mj_forward(mjm, mjd)
+    d = _our_efc(m, d0, mjd)
+
+    mj_j = _mj_efc_dense(mjm, mjd)
+    our_j = np.asarray(d.efc_J)
+    mj_nnz = np.abs(mj_j).max(axis=1) > EPS if mjd.nefc else np.zeros(0, bool)
+    our_nnz = np.abs(our_j).max(axis=1) > EPS
+
+    # C splits at (ne, nf, nl) — all its rows are active
+    ne, nf, nl = mjd.ne, mjd.nf, mjd.nl
+
+    sel_our = our_nnz.copy()
+    sel_our[start_con:] = False
+    sel_mj = mj_nnz.copy()
+    sel_mj[ne + nf + nl:] = False
+    np.testing.assert_allclose(
+        mj_j[sel_mj], our_j[:start_con][sel_our[:start_con]],
+        atol=1e-9, err_msg=f"{name} step {i}: efc_J (non-contact)"
+    )
+    for field, mj_field in (
+        ("efc_D", mjd.efc_D), ("efc_aref", mjd.efc_aref),
+        ("efc_pos", mjd.efc_pos), ("efc_margin", mjd.efc_margin),
+        ("efc_frictionloss", mjd.efc_frictionloss),
+    ):
+      ours = np.asarray(getattr(d, field))[:start_con][sel_our[:start_con]]
+      np.testing.assert_allclose(
+          np.array(mj_field)[sel_mj], ours, atol=1e-8,
+          err_msg=f"{name} step {i}: {field} (non-contact)"
+      )
+
+    # --- contact rows: ordering-free aggregates --------------------------
+    con_mj = slice(ne + nf + nl, mjd.nefc)
+    jc_mj, jc_our = mj_j[con_mj], our_j[start_con:]
+    d_mj = np.array(mjd.efc_D)[con_mj]
+    d_our = np.asarray(d.efc_D)[start_con:]
+    aref_mj = np.array(mjd.efc_aref)[con_mj]
+    aref_our = np.asarray(d.efc_aref)[start_con:]
+    # Gram matrix J^T diag(D) J and vector J^T diag(D) aref determine the
+    # quadratic solver objective; equal aggregates == equal physics
+    np.testing.assert_allclose(
+        jc_mj.T @ (d_mj[:, None] * jc_mj),
+        jc_our.T @ (d_our[:, None] * jc_our),
+        atol=1e-6, err_msg=f"{name} step {i}: contact J'DJ"
+    )
+    np.testing.assert_allclose(
+        jc_mj.T @ (d_mj * aref_mj), jc_our.T @ (d_our * aref_our),
+        atol=1e-6, err_msg=f"{name} step {i}: contact J'D aref"
+    )
+
+
+def test_jnt_range_row():
+  """A violated hinge limit instantiates one row with J = ±1 at its dof."""
+  xml = """<mujoco><worldbody><body>
+    <joint name="h" type="hinge" range="-0.1 0.1" limited="true"/>
+    <geom size="0.1"/></body></worldbody></mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  m = mjtpu.put_model(mjm)
+  d = mjtpu.make_data(m)
+  d = d.replace(qpos=jnp.array([0.3]))  # beyond +0.1 limit
+  d = mjtpu.fwd_position(m, d)
+  j = np.asarray(d.efc_J)
+  rows = np.abs(j).max(axis=1) > EPS
+  assert rows.sum() == 1
+  np.testing.assert_allclose(j[rows][0, 0], -1.0)
+  assert float(np.asarray(d.efc_pos)[rows][0]) < 0
+
+
+def test_frictionloss_row():
+  """A dof with frictionloss instantiates a row with J=1, pos=0."""
+  xml = """<mujoco><worldbody><body>
+    <joint type="slide" frictionloss="2.0"/>
+    <geom size="0.1"/></body></worldbody></mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  m = mjtpu.put_model(mjm)
+  d = mjtpu.make_data(m)
+  d = mjtpu.fwd_position(m, d)
+  fl = np.asarray(d.efc_frictionloss)
+  rows = fl > 0
+  assert rows.sum() == 1
+  np.testing.assert_allclose(fl[rows], [2.0])
+  np.testing.assert_allclose(np.asarray(d.efc_pos)[rows], [0.0], atol=1e-12)
+  np.testing.assert_allclose(np.abs(np.asarray(d.efc_J)[rows]).max(), 1.0)
+
+
+def test_refsafe():
+  """timeconst clamps to 2*timestep when refsafe is on (mj KBI transform)."""
+  xml = """<mujoco><option timestep="0.05"/><worldbody><body>
+    <joint type="hinge" range="-0.1 0.1" limited="true"
+           solreflimit="0.02 1"/>
+    <geom size="0.1"/></body></worldbody></mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  mjd.qpos[0] = 0.3
+  mujoco.mj_forward(mjm, mjd)
+  m = mjtpu.put_model(mjm)
+  d = mjtpu.make_data(m).replace(qpos=jnp.array([0.3]))
+  d = mjtpu.fwd_position(m, d)
+  rows = np.abs(np.asarray(d.efc_J)).max(axis=1) > EPS
+  np.testing.assert_allclose(
+      np.asarray(d.efc_aref)[rows], np.array(mjd.efc_aref), atol=1e-10
+  )

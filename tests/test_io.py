@@ -27,6 +27,25 @@ def test_get_data_into_roundtrip():
   assert (out.contact.dist[: out.ncon] < 0.01).all()
 
 
+def test_get_data_into_batched():
+  """Batched Data writes into a list of MjData (reference device.py's
+  list-of-N path)."""
+  mjm = load_mj("pendulum.xml")
+  m = mjtpu.put_model(mjm)
+  d = mjtpu.make_data(m)
+  qpos = jnp.stack([d.qpos + 0.1 * i for i in range(3)])
+  dx = jax.vmap(lambda q: d.replace(qpos=q))(qpos)
+  dx = jax.jit(jax.vmap(mjtpu.step, in_axes=(None, 0)))(m, dx)
+  outs = [mujoco.MjData(mjm) for _ in range(3)]
+  mjtpu.get_data_into(outs, m, dx)
+  for i, out in enumerate(outs):
+    np.testing.assert_allclose(out.qpos, np.asarray(dx.qpos[i]), atol=1e-12)
+  with pytest.raises(ValueError):
+    mjtpu.get_data_into(outs[:2], m, dx)
+  with pytest.raises(ValueError):
+    mjtpu.get_data_into(outs[0], m, dx)
+
+
 def test_put_data_roundtrip():
   mjm = load_mj("pendulum.xml")
   mjd = mujoco.MjData(mjm)

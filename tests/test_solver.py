@@ -1,0 +1,125 @@
+"""Constraint-solver parity vs MuJoCo C.
+
+Reference capability map: test/solver_test.py — CG and Newton both converge
+to mj_forward's qacc/qfrc_constraint on contact-rich states; frictionloss
+rows saturate at their loss limit; warmstart does not change the solution.
+qacc/qfrc_constraint are nv-sized so the checks are contact-ordering-free.
+"""
+
+import jax.numpy as jnp
+import mujoco
+import numpy as np
+import pytest
+
+import mjtpu
+from tests.conftest import load_mj
+
+MODELS = ["spheres.xml", "condim4_pyramidal.xml", "condim6_elliptic.xml",
+          "equality.xml", "friction_tendon.xml"]
+SOLVERS = [("newton", mujoco.mjtSolver.mjSOL_NEWTON),
+           ("cg", mujoco.mjtSolver.mjSOL_CG)]
+
+
+def _forward_pair(name, mj_solver, seed=0, settle=30):
+  mjm = load_mj(name)
+  mjm.opt.solver = mj_solver
+  mjm.opt.iterations = 100
+  mjm.opt.tolerance = 1e-12
+  mjd = mujoco.MjData(mjm)
+  rng = np.random.default_rng(seed)
+  mjd.qpos[:] = mjm.qpos0 + rng.uniform(-0.05, 0.05, mjm.nq)
+  mjd.qvel[:] = rng.uniform(-0.2, 0.2, mjm.nv)
+  for _ in range(settle):  # reach a contact-active state
+    mujoco.mj_step(mjm, mjd)
+  mujoco.mj_forward(mjm, mjd)
+
+  m = mjtpu.put_model(mjm)
+  d = mjtpu.make_data(m)
+  d = d.replace(
+      qpos=jnp.asarray(np.array(mjd.qpos)),
+      qvel=jnp.asarray(np.array(mjd.qvel)),
+      qacc_warmstart=jnp.asarray(np.array(mjd.qacc_warmstart)),
+  )
+  d = mjtpu.forward(m, d)
+  return mjm, mjd, m, d
+
+
+@pytest.mark.parametrize("name", MODELS)
+@pytest.mark.parametrize("solver_name,mj_solver", SOLVERS)
+def test_solver_solution(name, solver_name, mj_solver):
+  mjm, mjd, m, d = _forward_pair(name, mj_solver)
+  np.testing.assert_allclose(
+      np.asarray(d.qacc), mjd.qacc, atol=1e-6,
+      err_msg=f"{name} {solver_name}: qacc"
+  )
+  np.testing.assert_allclose(
+      np.asarray(d.qfrc_constraint), mjd.qfrc_constraint, atol=1e-6,
+      err_msg=f"{name} {solver_name}: qfrc_constraint"
+  )
+
+
+def test_cg_newton_agree():
+  """Both solvers reach the same optimum of the (strictly convex) cost."""
+  _, _, _, d_newton = _forward_pair("spheres.xml",
+                                    mujoco.mjtSolver.mjSOL_NEWTON)
+  _, _, _, d_cg = _forward_pair("spheres.xml", mujoco.mjtSolver.mjSOL_CG)
+  np.testing.assert_allclose(
+      np.asarray(d_newton.qacc), np.asarray(d_cg.qacc), atol=1e-5
+  )
+
+
+def test_frictionloss_saturation():
+  """Friction rows follow C exactly in both regimes: saturated at ±loss
+  under a large push (the linear-cost zone) and the regularized partial
+  resistance under a small push (soft constraint — qacc is NOT zero)."""
+  xml = """<mujoco><option timestep="0.002"/><worldbody><body>
+    <joint name="s" type="slide" axis="1 0 0" frictionloss="3.0"/>
+    <geom size="0.1" mass="1"/></body></worldbody></mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  m = mjtpu.put_model(mjm)
+  row = np.asarray(mjtpu.fwd_position(m, mjtpu.make_data(m))
+                   .efc_frictionloss) > 0
+  for force in (10.0, 1.0):  # saturated / partial-resistance regimes
+    mjd = mujoco.MjData(mjm)
+    mjd.qfrc_applied[0] = force
+    mujoco.mj_forward(mjm, mjd)
+    d = mjtpu.make_data(m).replace(qfrc_applied=jnp.array([force]))
+    d = mjtpu.forward(m, d)
+    np.testing.assert_allclose(np.asarray(d.qacc), mjd.qacc, atol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(d.efc_force)[row], mjd.efc_force, atol=1e-8)
+  # the saturated row sits exactly at -frictionloss
+  np.testing.assert_allclose(np.abs(np.asarray(d.efc_force)[row]), 0.9)
+
+
+def test_warmstart_invariance():
+  """The converged solution must not depend on the warmstart point."""
+  mjm = load_mj("spheres.xml")
+  mjm.opt.iterations = 200
+  mjm.opt.tolerance = 1e-14
+  m = mjtpu.put_model(mjm)
+  d = mjtpu.make_data(m)
+  rng = np.random.default_rng(7)
+  d = d.replace(qvel=jnp.asarray(rng.uniform(-0.2, 0.2, m.nv)))
+  cold = mjtpu.forward(m, d)
+  warm = mjtpu.forward(
+      m, d.replace(qacc_warmstart=jnp.asarray(rng.normal(size=m.nv)))
+  )
+  np.testing.assert_allclose(
+      np.asarray(cold.qacc), np.asarray(warm.qacc), atol=1e-6
+  )
+
+
+def test_fixed_iterations_matches():
+  """fixed_iterations (static-graph scan mode) converges to the same
+  solution as the while_loop path."""
+  mjm = load_mj("spheres.xml")
+  m = mjtpu.put_model(mjm)
+  d = mjtpu.make_data(m)
+  rng = np.random.default_rng(11)
+  d = d.replace(qvel=jnp.asarray(rng.uniform(-0.2, 0.2, m.nv)))
+  d_loop = mjtpu.forward(m, d)
+  d_fixed = mjtpu.forward(m, d, fixed_iterations=True)
+  np.testing.assert_allclose(
+      np.asarray(d_loop.qacc), np.asarray(d_fixed.qacc), atol=1e-5
+  )
