@@ -28,6 +28,9 @@ def create_mjcf(
     cone: str = "pyramidal",
     solver: str = "Newton",
     geom_types: tuple = ("sphere", "capsule", "box"),
+    contact_pairs: bool = False,
+    excludes: bool = False,
+    equality: bool = False,
 ) -> str:
   """Generates a random but well-formed MJCF string."""
   rng = np.random.default_rng(seed)
@@ -45,17 +48,22 @@ def create_mjcf(
   joint_names = []
   depth = 0
 
+  geom_names = []
+
   def geom_str(i):
     g = geom_types[rng.integers(0, len(geom_types))]
+    geom_names.append(f"g{i}")
+    nm = f'name="g{i}" '
     if g == "sphere":
-      return f'<geom type="sphere" size="{rng.uniform(0.04, 0.12):.3f}" mass="{rng.uniform(0.2, 1.5):.3f}"/>'
+      return (f'<geom {nm}type="sphere" size="{rng.uniform(0.04, 0.12):.3f}"'
+              f' mass="{rng.uniform(0.2, 1.5):.3f}"/>')
     if g == "capsule":
       return (
-          f'<geom type="capsule" size="{rng.uniform(0.03, 0.08):.3f} '
+          f'<geom {nm}type="capsule" size="{rng.uniform(0.03, 0.08):.3f} '
           f'{rng.uniform(0.08, 0.25):.3f}" mass="{rng.uniform(0.2, 1.5):.3f}"/>'
       )
     return (
-        f'<geom type="box" size="{rng.uniform(0.05, 0.15):.3f} '
+        f'<geom {nm}type="box" size="{rng.uniform(0.05, 0.15):.3f} '
         f'{rng.uniform(0.05, 0.15):.3f} {rng.uniform(0.05, 0.15):.3f}"'
         f' mass="{rng.uniform(0.2, 1.5):.3f}"/>'
     )
@@ -112,6 +120,36 @@ def create_mjcf(
       lines.append(f'      <joint joint="{name}" coef="{rng.uniform(-1, 1):.3f}"/>')
     lines.append("    </fixed>")
     lines.append("  </tendon>")
+
+  # contact pairs / excludes between non-adjacent bodies (reference
+  # create_mjcf's pair/exclude fuzzing)
+  contact_lines = []
+  if contact_pairs and len(geom_names) >= 2:
+    g1, g2 = rng.choice(geom_names, 2, replace=False)
+    condim = int(rng.choice([1, 3, 4, 6]))
+    fr = rng.uniform(0.3, 1.5)
+    contact_lines.append(
+        f'    <pair geom1="{g1}" geom2="{g2}" condim="{condim}"'
+        f' friction="{fr:.3f} {fr:.3f} 0.005 0.0001 0.0001"'
+        f' margin="{rng.uniform(0, 0.02):.4f}"/>'
+    )
+  if excludes and nbody >= 3:
+    b1, b2 = sorted(rng.choice(nbody, 2, replace=False))
+    contact_lines.append(f'    <exclude body1="b{b1}" body2="b{b2}"/>')
+  if contact_lines:
+    lines.append("  <contact>")
+    lines.extend(contact_lines)
+    lines.append("  </contact>")
+
+  if equality and nbody >= 3:
+    b1, b2 = sorted(rng.choice(nbody, 2, replace=False))
+    anchor = rng.uniform(-0.1, 0.1, 3)
+    lines.append("  <equality>")
+    lines.append(
+        f'    <connect body1="b{b1}" body2="b{b2}"'
+        f' anchor="{anchor[0]:.3f} {anchor[1]:.3f} {anchor[2]:.3f}"/>'
+    )
+    lines.append("  </equality>")
 
   if actuators and joint_names:
     lines.append("  <actuator>")

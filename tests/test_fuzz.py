@@ -52,6 +52,38 @@ def test_fuzz_trajectory(seed):
 
 
 @pytest.mark.parametrize("seed", range(3))
+def test_fuzz_pairs_excludes_equality(seed):
+  """Fuzz models with explicit <pair>/<exclude>/<equality> sections
+  (reference create_mjcf's pair/exclude fuzzing) track C trajectories."""
+  xml = create_mjcf(
+      seed + 200,
+      geom_types=("sphere", "capsule"),
+      contact_pairs=True,
+      excludes=(seed % 2 == 0),
+      equality=(seed % 2 == 1),
+  )
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  rng = np.random.default_rng(seed)
+  mjd.qpos[:] = mjm.qpos0 + rng.uniform(-0.03, 0.03, mjm.nq)
+  try:
+    m = mjtpu.put_model(mjm)
+  except NotImplementedError as e:
+    pytest.skip(f"unsupported fuzz feature: {e}")
+  d = mjtpu.make_data(m)
+  d = d.replace(qpos=jnp.asarray(np.array(mjd.qpos)))
+  step = jax.jit(mjtpu.step)
+  for i in range(50):
+    mujoco.mj_step(mjm, mjd)
+    d = step(m, d)
+    err = max(
+        np.abs(np.asarray(d.qpos) - mjd.qpos).max(),
+        np.abs(np.asarray(d.qvel) - mjd.qvel).max(),
+    )
+    assert err < 1e-6, f"pair-fuzz seed {seed} diverged at step {i}: {err:.3e}"
+
+
+@pytest.mark.parametrize("seed", range(3))
 def test_fuzz_boxes_stable(seed):
   """Box-heavy fuzz models: assert bounded, finite dynamics (narrowphase
   corner cases legitimately differ from mj's analytic box colliders)."""
