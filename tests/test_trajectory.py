@@ -68,8 +68,12 @@ def test_trajectory(name):
   run_traj(name)
 
 
-@pytest.mark.parametrize("name", ["cartpole.xml", "friction_tendon.xml"])
+@pytest.mark.parametrize(
+    "name", ["cartpole.xml", "friction_tendon.xml", "muscle.xml"]
+)
 def test_trajectory_ctrl(name):
+  # muscle.xml exercises every actuator dyntype at once: muscle (FLV curves),
+  # filter, filterexact (exact exponential), integrator w/ actrange clamp
   run_traj(name, ctrl=True)
 
 
