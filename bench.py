@@ -25,6 +25,22 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 BASELINE_STEPS_PER_SEC = 2_197_238.0  # MJX humanoid B=4096 (BASELINE.md)
 
 
+def fill_hfields(mjm):
+  """Deterministic procedural terrain for hfield assets (XML can't inline
+  elevation data): sinusoidal bumps, flat near the origin so models spawn
+  on level ground."""
+  for h in range(mjm.nhfield):
+    nrow, ncol = int(mjm.hfield_nrow[h]), int(mjm.hfield_ncol[h])
+    adr = int(mjm.hfield_adr[h])
+    rx, ry = mjm.hfield_size[h, 0], mjm.hfield_size[h, 1]
+    x = np.linspace(-rx, rx, ncol)[None, :]
+    y = np.linspace(-ry, ry, nrow)[:, None]
+    bumps = 0.5 * (1.0 + np.sin(1.7 * x) * np.sin(1.3 * y))
+    r = np.sqrt(x * x + y * y)
+    ramp = np.clip((r - 2.0) / 3.0, 0.0, 1.0)
+    mjm.hfield_data[adr : adr + nrow * ncol] = (bumps * ramp).reshape(-1)
+
+
 def main():
   batch = int(os.environ.get("MJTPU_BENCH_BATCH", "4096"))
   nsteps = int(os.environ.get("MJTPU_BENCH_STEPS", "1000"))
@@ -39,6 +55,7 @@ def main():
       os.path.join(os.path.dirname(__file__), "mjtpu", "zoo", "assets",
                    f"{model_name}.xml")
   )
+  fill_hfields(mjm)
   m = mjtpu.put_model(mjm, dtype=jnp.float32)
   d0 = mjtpu.make_data(m)
 

@@ -301,12 +301,16 @@ def _contact_params(m: Model, pairs: list[tuple[int, int, int]]):
 # ---------------------------------------------------------------------------
 
 
-def _collision_fn(m: Model, key: tuple) -> Callable:
+def _collision_fn(m: Model, key: tuple, pairs: list[tuple[int, int, int]]) -> Callable:
   """Returns fn(pos1, mat1, size1, pos2, mat2, size2) -> (dist, pos, frame)
   for one group; hull/hfield constants are closed over via partial."""
   from mjtpu._src import collision_convex, collision_hfield, collision_primitive
 
   t1, t2, s1, s2 = key[0], key[1], key[2], key[3]
+  # hfield subgrid footprint: sized by the colliding objects' own bounding
+  # radii (max within the group — static), NOT the model-wide max, which
+  # includes the hfield geom itself and blows the static triangle count
+  rbound = float(max((m.geom_rbound_np[p[1]] for p in pairs), default=0.0))
 
   def hull(t, s):
     from mjtpu._src import mesh as mesh_mod
@@ -327,10 +331,10 @@ def _collision_fn(m: Model, key: tuple) -> Callable:
           collision_convex.plane_convex, hull2=hull(t2, s2)
       ),
       (GeomType.HFIELD, GeomType.SPHERE): lambda: functools.partial(
-          collision_hfield.hfield_sphere, m=m, hid=s1
+          collision_hfield.hfield_sphere, m=m, hid=s1, rbound=rbound
       ),
       (GeomType.HFIELD, GeomType.CAPSULE): lambda: functools.partial(
-          collision_hfield.hfield_capsule, m=m, hid=s1
+          collision_hfield.hfield_capsule, m=m, hid=s1, rbound=rbound
       ),
       (GeomType.HFIELD, GeomType.BOX): lambda: functools.partial(
           collision_hfield.hfield_convex, m=m, hid=s1, hull2=hull(t2, s2)
@@ -387,7 +391,7 @@ def collision(m: Model, d: Data) -> Data:
   g1s, g2s = [], []
 
   for key, pairs in candidate_groups(m).items():
-    fn = _collision_fn(m, key)
+    fn = _collision_fn(m, key, pairs)
     n_per = _PAIR_NCON[key[:2]]
 
     i1 = np.array([p[0] for p in pairs])

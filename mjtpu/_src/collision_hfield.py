@@ -141,10 +141,12 @@ def _select4(dist, pos, normal, dtype):
   )
 
 
-def hfield_sphere(pos1, mat1, size1, pos2, mat2, size2, m: Model, hid: int):
+def hfield_sphere(
+    pos1, mat1, size1, pos2, mat2, size2, m: Model, hid: int, rbound: float
+):
   dtype = pos1.dtype
   r = size2[0]
-  hy, hx = _subgrid_shape(m, hid, float(m.geom_rbound_np.max()))
+  hy, hx = _subgrid_shape(m, hid, rbound)
   tris = _surface_triangles(m, hid, pos1, mat1, pos2, hy, hx)
 
   up = mat1[:, 2]
@@ -176,10 +178,12 @@ def _point_triangle(tri, p, r, up):
   return dist, n
 
 
-def hfield_capsule(pos1, mat1, size1, pos2, mat2, size2, m: Model, hid: int):
+def hfield_capsule(
+    pos1, mat1, size1, pos2, mat2, size2, m: Model, hid: int, rbound: float
+):
   dtype = pos1.dtype
   r, h = size2[0], size2[1]
-  hy, hx = _subgrid_shape(m, hid, float(m.geom_rbound_np.max()))
+  hy, hx = _subgrid_shape(m, hid, rbound)
   tris = _surface_triangles(m, hid, pos1, mat1, pos2, hy, hx)
   axis = mat2[:, 2]
   a, b = pos2 - h * axis, pos2 + h * axis

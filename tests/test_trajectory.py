@@ -177,6 +177,62 @@ def test_trajectory_robots(name):
     assert err < 1e-6, f"{name} diverged at step {i}: {err:.3e}"
 
 
+def test_trajectory_humanoid_terrain():
+  """BASELINE config 4: humanoid + ImplicitFast + mesh + hfield collisions.
+
+  Exact trajectory parity through an hfield impact event is not attainable
+  (C's hfield collider is libccd MPR over prisms; ours is a triangle
+  manifold — contact-onset dist differs below margin resolution, and the
+  reference's own mjx_correctness suite includes no hfield trajectories).
+  Asserted envelope: strict 1e-6 parity while airborne, contact onset
+  within 3 steps of C, then a physical-sanity rollout (finite, settles
+  on the terrain)."""
+  mjm = mujoco.MjModel.from_xml_path(str(ZOO_ASSETS / "humanoid_terrain.xml"))
+  from bench import fill_hfields
+
+  fill_hfields(mjm)
+  mjd = mujoco.MjData(mjm)
+  rng = np.random.default_rng(0)
+  mjd.qpos[:] = mjm.qpos0 + rng.uniform(-0.05, 0.05, mjm.nq)
+  mjd.qvel[:] = rng.uniform(-0.05, 0.05, mjm.nv)
+  m = mjtpu.put_model(mjm)
+  d = mjtpu.make_data(m)
+  d = d.replace(
+      qpos=jnp.asarray(np.array(mjd.qpos)), qvel=jnp.asarray(np.array(mjd.qvel))
+  )
+  step = jax.jit(mjtpu.step)
+  onset_c = onset_ours = None
+  for i in range(100):
+    c = rng.uniform(-1, 1, mjm.nu)
+    mjd.ctrl[:] = c
+    d = d.replace(ctrl=jnp.asarray(np.array(c)))
+    mujoco.mj_step(mjm, mjd)
+    d = step(m, d)
+    if onset_c is None and mjd.ncon > 0:
+      onset_c = i
+    if onset_ours is None and bool((np.asarray(d.contact.dist) < 0).any()):
+      onset_ours = i
+    if onset_c is None and onset_ours is None:
+      err = max(
+          np.abs(np.asarray(d.qpos) - mjd.qpos).max(),
+          np.abs(np.asarray(d.qvel) - mjd.qvel).max(),
+      )
+      assert err < 1e-6, f"airborne phase diverged at step {i}: {err:.3e}"
+  assert onset_c is not None and onset_ours is not None, (
+      f"no terrain impact within 100 steps (C: {onset_c}, ours: {onset_ours})"
+  )
+  assert abs(onset_c - onset_ours) <= 3, (
+      f"contact onset disagrees: C step {onset_c}, ours step {onset_ours}"
+  )
+  for _ in range(200):
+    d = step(m, d)
+  qpos = np.asarray(d.qpos)
+  qvel = np.asarray(d.qvel)
+  assert np.isfinite(qpos).all() and np.isfinite(qvel).all()
+  assert -0.5 < qpos[2] < 2.0, f"root z {qpos[2]} left the terrain envelope"
+  assert np.abs(qvel).max() < 20.0
+
+
 def test_max_contact_points():
   """<numeric name="max_contact_points"> caps contact slots via top-k by
   penetration (reference collision_driver.py:571-578, 822-840)."""
