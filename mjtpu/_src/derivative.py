@@ -55,4 +55,10 @@ def deriv_smooth_vel(m: Model, d: Data) -> jax.Array:
     if m.ntendon and m.has_tendon_damping:
       qderiv = qderiv - d.ten_J.T @ (m.tendon_damping[:, None] * d.ten_J)
 
-  return qderiv
+  # mj's qDeriv shares qM's kinematic-chain sparsity: cross terms between
+  # non-ancestor dofs (tendon/actuator moments spanning trees or sibling
+  # branches) are dropped by C — mask to match, which also keeps
+  # qM − h·qDeriv block-diagonal per tree (smooth.mass_blocks)
+  from mjtpu._src import smooth
+
+  return qderiv * jnp.asarray(smooth.chain_pattern(m), dtype=dtype)

@@ -27,7 +27,6 @@ from mjtpu._src import (
     support,
 )
 from mjtpu._src.precision import matmul_precision
-from mjtpu.ops import fused
 from mjtpu._src.types import (
     BiasType,
     Data,
@@ -342,7 +341,7 @@ def euler(m: Model, d: Data) -> Data:
   if m.has_dof_damping and not (m.opt.disableflags & DisableBit.EULERDAMP):
     mh = d.qM + m.opt.timestep * jnp.diag(m.dof_damping)
     qfrc = d.qfrc_smooth + d.qfrc_constraint
-    qacc = fused.chol_solve(mh, qfrc)
+    qacc = smooth.factor_solve(m, mh, qfrc)
   return _advance(m, d, d.act_dot, qacc)
 
 
@@ -420,8 +419,7 @@ def implicit(m: Model, d: Data) -> Data:
   qderiv = derivative.deriv_smooth_vel(m, d)
   mh = d.qM - m.opt.timestep * qderiv
   qfrc = d.qfrc_smooth + d.qfrc_constraint
-  lu, piv = jax.scipy.linalg.lu_factor(mh)
-  qacc = jax.scipy.linalg.lu_solve((lu, piv), qfrc)
+  qacc = smooth.factor_solve(m, mh, qfrc, symmetric=False)
   return _advance(m, d, d.act_dot, qacc)
 
 

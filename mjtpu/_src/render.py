@@ -76,11 +76,12 @@ def precompute_render_data(m: Model, geom_groups=None) -> RenderData:
       if np.allclose(g_rgba, _DEFAULT_RGBA):  # material rgba unless overridden
         g_rgba = np.asarray(m.mat_rgba[mat], np.float64)
       tid = int(np.atleast_2d(m.mat_texid)[mat, _TEXROLE_RGB])
-      if tid >= 0 and int(m.tex_type[tid]) == 0:  # 2d textures only
+      if tid >= 0 and int(m.tex_type[tid]) in (0, 1):  # 2d + cube
         textures[k] = (
             _decode_tex(m, tid),
             np.asarray(m.mat_texrepeat[mat], np.float64),
             bool(np.atleast_1d(m.mat_texuniform)[mat]),
+            "cube" if int(m.tex_type[tid]) == 1 else "2d",
         )
     rgba.append(g_rgba)
     if t == GeomType.MESH:
@@ -113,9 +114,42 @@ def _sample_tex(img, uv):
   return img[iy, ix]
 
 
-def _tex_albedo(gtype: int, size, p, img, repeat, uniform, base):
-  """Albedo at local hit point p for a 2d-textured geom."""
+def _sample_cube(img, face, u, v):
+  """Samples a cube texture: img (6W, W, 3) stacked faces (MuJoCo order
+  right/left/up/down/front/back) or (W, W, 3) single image for all faces.
+  u, v in [-1, 1] within the face."""
+  h, w = img.shape[0], img.shape[1]
+  nface = h // w
+  fi = jnp.clip(face, 0, nface - 1)
+  ix = jnp.clip((0.5 * (u + 1.0) * w).astype(jnp.int32), 0, w - 1)
+  iy = jnp.clip((0.5 * (v + 1.0) * w).astype(jnp.int32), 0, w - 1)
+  return img[fi * w + iy, ix]
+
+
+def _cube_albedo(p, img):
+  """Cube-map albedo from the local hit direction (geom-centred)."""
+  d = p / jnp.maximum(1e-12, jnp.linalg.norm(p))
+  absd = jnp.abs(d)
+  ax = jnp.argmax(absd)
+  mag = jnp.maximum(1e-12, absd[ax])
+  # per-dominant-axis (u, v) projections and face ids:
+  #   x-dom -> (y, z), faces right(0)/left(1); y-dom -> (x, z),
+  #   front(4)/back(5); z-dom -> (x, y), up(2)/down(3)
+  u = jnp.stack([d[1], d[0], d[0]])[ax] / mag
+  v = jnp.stack([d[2], d[2], d[1]])[ax] / mag
+  face = jnp.stack([
+      jnp.where(d[0] > 0, 0, 1),
+      jnp.where(d[1] > 0, 4, 5),
+      jnp.where(d[2] > 0, 2, 3),
+  ])[ax]
+  return _sample_cube(img, face, u, v)
+
+
+def _tex_albedo(gtype: int, size, p, img, repeat, uniform, base, kind="2d"):
+  """Albedo at local hit point p for a textured geom."""
   size = np.asarray(size)
+  if kind == "cube":
+    return _cube_albedo(p, img)
   if gtype == GeomType.PLANE:
     scale = repeat.copy()
     if not uniform:
@@ -197,10 +231,11 @@ def _trace(m: Model, d: Data, rd: RenderData, pnt, vec):
     normals.append(mat @ n_local)
     base = rgba[k, :3]
     if k in rd.textures:
-      img, repeat, uniform = rd.textures[k]
+      img, repeat, uniform, kind = rd.textures[k]
       p_hit = lp + jnp.where(jnp.isfinite(t), t, 0.0) * lv
       base = _tex_albedo(gtype, np.asarray(m.geom_size_np)[g], p_hit,
-                         jnp.asarray(img, dtype=dtype), repeat, uniform, base)
+                         jnp.asarray(img, dtype=dtype), repeat, uniform, base,
+                         kind)
     albedos.append(base)
   ts = jnp.stack(ts)
   normals = jnp.stack(normals)

@@ -9,8 +9,9 @@ C oracle at float64 in tests/test_smooth.py.
 TPU design notes: tree traversals use scan.body_tree (levelwise vmap groups);
 the CRBA mass matrix assembles as one (nv,6)x(6,nv) matmul masked by the
 static kinematic-chain pattern (MXU-friendly); factorization is dense
-Cholesky (the Pallas batched sparse-LDL replaces it for big nv — SURVEY.md
-§7 step 9).
+Cholesky for one kinematic tree and forest-blocked Cholesky for multi-tree
+scenes (`mass_blocks` — the TPU-native answer to the reference's sparse
+LDL schedules, SURVEY.md §7 step 9).
 """
 
 from __future__ import annotations
@@ -29,7 +30,6 @@ from mjtpu._src.types import (
     JointType,
     Model,
     TrnType,
-    WrapType,
 )
 
 
@@ -280,6 +280,74 @@ def dof_chain_mask(m: Model) -> np.ndarray:
   return _dof_chain_mask_cached(m.nv, tuple(int(x) for x in m.dof_parentid))
 
 
+def chain_pattern(m: Model) -> np.ndarray:
+  """(nv, nv) symmetric 0/1 sparsity pattern of MuJoCo's qM: entry (i, j)
+  exists iff one of i, j is an ancestor dof of the other (or i == j)."""
+  mask = dof_chain_mask(m)
+  return np.maximum(mask, mask.T)
+
+
+@functools.lru_cache(maxsize=64)
+def _mass_blocks_cached(nv, dof_tree):
+  lo, hi = {}, {}
+  for i, t in enumerate(dof_tree):
+    lo[t] = min(lo.get(t, i), i)
+    hi[t] = max(hi.get(t, i), i)
+  intervals = sorted((lo[t], hi[t]) for t in lo)
+  # interval hull: components interleaved in dof order merge conservatively
+  merged = []
+  for s, e in intervals:
+    if merged and s <= merged[-1][1]:
+      merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+    else:
+      merged.append((s, e))
+  blocks = tuple((s, e - s + 1) for s, e in merged)
+  return None if len(blocks) <= 1 else blocks
+
+
+def mass_blocks(m: Model) -> tuple[tuple[int, int], ...] | None:
+  """Static diagonal-block partition ((start, size), ...) of qM, or None
+  when one block spans all dofs.
+
+  qM is exactly block diagonal with one block per kinematic tree: MuJoCo's
+  chain-sparsity pattern admits no cross-tree entries (tendon armature /
+  damping cross terms are pattern-masked out, matching C — see
+  tendon_armature).  Factoring per block replaces the O(nv³) dense Cholesky
+  with independent small factorizations batched over blocks — the
+  TPU-native equivalent of the reference's sparse LDL schedules (reference
+  smooth.py:311-354, device.py:763-829; SURVEY.md §7 step 9).  A/B knob:
+  MJTPU_MASS_BLOCKS=0 forces the dense path."""
+  import os
+
+  if m.nv == 0 or os.environ.get("MJTPU_MASS_BLOCKS", "1") == "0":
+    return None
+  rootid = np.asarray(m.body_rootid)
+  dof_tree = tuple(int(rootid[b]) for b in np.asarray(m.dof_bodyid))
+  return _mass_blocks_cached(m.nv, dof_tree)
+
+
+@functools.lru_cache(maxsize=64)
+def _block_indices_cached(blocks):
+  """Per size group: (rows (k, bs), ii (k, bs, bs), jj (k, bs, bs)) static
+  gather/scatter indices — the whole group moves with ONE gather and ONE
+  scatter instead of per-block slices (launch overhead killed the naive
+  version on TPU)."""
+  by: dict[int, list[int]] = {}
+  for s, n in blocks:
+    by.setdefault(n, []).append(s)
+  out = []
+  for bs, starts in sorted(by.items()):
+    rows = np.asarray([[s + r for r in range(bs)] for s in starts])  # (k, bs)
+    ii = np.repeat(rows[:, :, None], bs, axis=2)
+    jj = np.repeat(rows[:, None, :], bs, axis=1)
+    out.append((bs, rows, ii, jj))
+  return out
+
+
+def _block_indices(blocks):
+  return _block_indices_cached(tuple(blocks))
+
+
 def crb(m: Model, d: Data) -> Data:
   """Composite rigid body inertias + mass matrix (mj_crb)."""
 
@@ -300,20 +368,71 @@ def crb(m: Model, d: Data) -> Data:
 
 
 def factor_m(m: Model, d: Data, M: jax.Array | None = None) -> Data:
-  """Mass matrix factorization (mj_factorM).  Dense Cholesky path; the
-  reference's sparse per-depth LDL schedules (smooth.py:311-332) map to the
-  Pallas kernel in mjtpu/ops once the sparse layout lands."""
+  """Mass matrix factorization (mj_factorM).
+
+  Single-tree models use one dense Cholesky; multi-tree scenes factor each
+  static mass block independently (`mass_blocks`) — identical results
+  (off-block entries of a block-diagonal matrix contribute exact zeros to
+  the dense factorization) at a fraction of the flops."""
   M = d.qM if M is None else M
-  qLD = math.safe_cholesky(M)
+  blocks = mass_blocks(m)
+  if blocks is None:
+    qLD = math.safe_cholesky(M)
+  else:
+    qLD = jnp.zeros_like(M)
+    for _, _, ii, jj in _block_indices(blocks):
+      f = jax.vmap(math.safe_cholesky)(M[ii, jj])
+      qLD = qLD.at[ii, jj].set(f)
   qLDiagInv = 1.0 / jnp.diagonal(qLD)
   return d.replace(qLD=qLD, qLDiagInv=qLDiagInv)
 
 
 def solve_m(m: Model, d: Data, x: jax.Array) -> jax.Array:
   """Solves qM y = x using the current factorization (mj_solveM)."""
-  if x.ndim > 1:
-    return math.cho_solve(d.qLD, x.T).T
-  return math.cho_solve(d.qLD, x)
+  blocks = mass_blocks(m)
+  if blocks is None:
+    if x.ndim > 1:
+      return math.cho_solve(d.qLD, x.T).T
+    return math.cho_solve(d.qLD, x)
+  xt = x if x.ndim == 1 else x.T  # (nv,) or (nv, k)
+  out = jnp.zeros_like(xt)
+  for _, rows, ii, jj in _block_indices(blocks):
+    sol = math.cho_solve(d.qLD[ii, jj], xt[rows])
+    out = out.at[rows].set(sol)
+  return out if x.ndim == 1 else out.T
+
+
+def factor_solve(
+    m: Model, mat: jax.Array, rhs: jax.Array, symmetric: bool = True
+) -> jax.Array:
+  """One-shot solve mat @ x = rhs respecting the static mass-block pattern.
+
+  Used by the implicit-damping integrators: mat = qM ± h·D keeps qM's block
+  structure (diag damping is in-block; tendon damping couples only
+  tendon-merged blocks).  symmetric=False takes the LU path (ImplicitFast's
+  qM − h·∂qfrc/∂qvel is not symmetric)."""
+  blocks = mass_blocks(m)
+  if blocks is None:
+    if symmetric:
+      from mjtpu.ops import fused
+
+      return fused.chol_solve(mat, rhs)
+    lu, piv = jax.scipy.linalg.lu_factor(mat)
+    return jax.scipy.linalg.lu_solve((lu, piv), rhs)
+  out = jnp.zeros_like(rhs)
+  for _, rows, ii, jj in _block_indices(blocks):
+    subs = mat[ii, jj]
+    rs = rhs[rows]
+    if symmetric:
+      sol = math.cho_solve(jax.vmap(math.safe_cholesky)(subs), rs)
+    else:
+      sol = jax.vmap(
+          lambda A, b: jax.scipy.linalg.lu_solve(
+              jax.scipy.linalg.lu_factor(A), b
+          )
+      )(subs, rs)
+    out = out.at[rows].set(sol)
+  return out
 
 
 def dense_m(m: Model, d: Data) -> jax.Array:
@@ -421,11 +540,18 @@ def tendon(m: Model, d: Data) -> Data:
 
 
 def tendon_armature(m: Model, d: Data) -> Data:
-  """Adds tendon armature inertia Jᵀ A J to qM (mj 3.9+ semantics)."""
+  """Adds tendon armature inertia Jᵀ A J to qM (mj 3.9+ semantics).
+
+  Masked to the kinematic-chain sparsity pattern: MuJoCo's sparse qM layout
+  cannot represent coupling between dofs that are not tree ancestors, so C
+  silently drops those cross terms (oracle-verified: a tendon joining two
+  separate trees contributes only diagonal armature to mj_fullM).  Matching
+  that keeps qM exactly block-diagonal per kinematic tree (mass_blocks)."""
   if not m.ntendon:
     return d
   JA = d.ten_J * m.tendon_armature[:, None]
-  return d.replace(qM=d.qM + d.ten_J.T @ JA)
+  add = d.ten_J.T @ JA
+  return d.replace(qM=d.qM + add * jnp.asarray(chain_pattern(m), dtype=add.dtype))
 
 
 def transmission(m: Model, d: Data) -> Data:

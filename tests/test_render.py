@@ -72,6 +72,34 @@ def test_texture_sampling(scene):
   assert ((img[..., 0] > 0.3) & (img[..., 1] < 0.25)).mean() > 0.004
 
 
+def test_cube_texture():
+  """Cube-textured sphere: the cube map is picked up and sampling varies
+  across the surface (checker cube -> multi-colored sphere)."""
+  xml = """<mujoco>
+  <asset>
+    <texture name="cb" type="cube" builtin="checker" rgb1="1 0 0"
+             rgb2="0 0 1" width="32" height="32"/>
+    <material name="cb" texture="cb"/>
+  </asset>
+  <worldbody>
+    <camera name="c" pos="0 -1.5 0.5" xyaxes="1 0 0 0 0.32 0.95"/>
+    <body pos="0 0 0.5"><freejoint/>
+      <geom type="sphere" size="0.4" material="cb"/></body>
+  </worldbody>
+  </mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  m = mjtpu.put_model(mjm)
+  d = mjtpu.forward(m, mjtpu.make_data(m))
+  rd = mjtpu.precompute_render_data(m)
+  assert len(rd.textures) == 1 and next(iter(rd.textures.values()))[3] == "cube"
+  img = np.asarray(mjtpu.render(m, d, width=64, height=48, rd=rd, camera=0))
+  assert np.isfinite(img).all()
+  # both checker colors appear on the sphere
+  red = ((img[..., 0] > 0.25) & (img[..., 2] < 0.2)).mean()
+  blue = ((img[..., 2] > 0.25) & (img[..., 0] < 0.2)).mean()
+  assert red > 0.005 and blue > 0.005, (red, blue)
+
+
 def test_skybox(scene):
   m, d, rd = scene
   img = np.asarray(mjtpu.render(m, d, width=32, height=24, rd=rd))
