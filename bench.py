@@ -26,19 +26,11 @@ BASELINE_STEPS_PER_SEC = 2_197_238.0  # MJX humanoid B=4096 (BASELINE.md)
 
 
 def fill_hfields(mjm):
-  """Deterministic procedural terrain for hfield assets (XML can't inline
-  elevation data): sinusoidal bumps, flat near the origin so models spawn
-  on level ground."""
-  for h in range(mjm.nhfield):
-    nrow, ncol = int(mjm.hfield_nrow[h]), int(mjm.hfield_ncol[h])
-    adr = int(mjm.hfield_adr[h])
-    rx, ry = mjm.hfield_size[h, 0], mjm.hfield_size[h, 1]
-    x = np.linspace(-rx, rx, ncol)[None, :]
-    y = np.linspace(-ry, ry, nrow)[:, None]
-    bumps = 0.5 * (1.0 + np.sin(1.7 * x) * np.sin(1.3 * y))
-    r = np.sqrt(x * x + y * y)
-    ramp = np.clip((r - 2.0) / 3.0, 0.0, 1.0)
-    mjm.hfield_data[adr : adr + nrow * ncol] = (bumps * ramp).reshape(-1)
+  """Deterministic procedural terrain (alias of mjtpu.procedural_terrain,
+  kept for the tests that import it from here)."""
+  import mjtpu
+
+  mjtpu.procedural_terrain(mjm)
 
 
 def main():

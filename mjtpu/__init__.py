@@ -32,6 +32,7 @@ from mjtpu._src.io import (
     get_data_into,
     load_checkpoint,
     make_data,
+    procedural_terrain,
     put_data,
     put_model,
     save_checkpoint,

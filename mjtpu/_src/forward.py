@@ -338,7 +338,13 @@ def _advance(
 def euler(m: Model, d: Data) -> Data:
   """Semi-implicit Euler with optional implicit joint damping (mj_Euler)."""
   qacc = d.qacc
-  if m.has_dof_damping and not (m.opt.disableflags & DisableBit.EULERDAMP):
+  # implicit damping correction is skipped when either EULERDAMP or the
+  # damping forces themselves (DAMPER) are disabled — matching mj_Euler
+  if (
+      m.has_dof_damping
+      and not (m.opt.disableflags & DisableBit.EULERDAMP)
+      and not (m.opt.disableflags & DisableBit.DAMPER)
+  ):
     mh = d.qM + m.opt.timestep * jnp.diag(m.dof_damping)
     qfrc = d.qfrc_smooth + d.qfrc_constraint
     qacc = smooth.factor_solve(m, mh, qfrc)

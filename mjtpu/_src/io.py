@@ -441,3 +441,24 @@ def load_checkpoint(path: str, like: Data) -> Data:
         for i in range(len(leaves))
     ]
   return jax.tree.unflatten(treedef, new_leaves)
+
+
+def procedural_terrain(mjm: mujoco.MjModel, seed: int = 0) -> None:
+  """Fills every hfield in a host MjModel with deterministic sinusoidal
+  bumps, flat near the origin so models spawn on level ground.
+
+  MJCF cannot inline elevation data, so terrain assets ship flat and are
+  filled here before put_model (used by bench.py and the humanoid_terrain
+  zoo env).  The seed is reserved for future randomized variants; the
+  default surface is fully deterministic."""
+  del seed
+  for h in range(mjm.nhfield):
+    nrow, ncol = int(mjm.hfield_nrow[h]), int(mjm.hfield_ncol[h])
+    adr = int(mjm.hfield_adr[h])
+    rx, ry = mjm.hfield_size[h, 0], mjm.hfield_size[h, 1]
+    x = np.linspace(-rx, rx, ncol)[None, :]
+    y = np.linspace(-ry, ry, nrow)[:, None]
+    bumps = 0.5 * (1.0 + np.sin(1.7 * x) * np.sin(1.3 * y))
+    r = np.sqrt(x * x + y * y)
+    ramp = np.clip((r - 2.0) / 3.0, 0.0, 1.0)
+    mjm.hfield_data[adr : adr + nrow * ncol] = (bumps * ramp).reshape(-1)

@@ -79,6 +79,7 @@ class MjtpuEnv:
           1,
       )
     self.mj_model = mujoco.MjModel.from_xml_string(xml)
+    self._patch_mj_model(self.mj_model)
     self.model: Model = mjtpu.put_model(self.mj_model, dtype=dtype)
     self._d0: Data = mjtpu.make_data(self.model)
     self.pixel_obs = pixel_obs
@@ -86,6 +87,10 @@ class MjtpuEnv:
     self._render_data = (
         mjtpu.precompute_render_data(self.model) if pixel_obs else None
     )
+
+  def _patch_mj_model(self, mjm) -> None:
+    """Hook: mutate the host MjModel before put_model (e.g. fill hfield
+    elevation data for terrain envs)."""
 
   @property
   def action_size(self) -> int:

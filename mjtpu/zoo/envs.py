@@ -144,6 +144,20 @@ class Humanoid(MjtpuEnv):
     return reward, ~healthy
 
 
+@register_env("humanoid_terrain")
+class HumanoidTerrain(Humanoid):
+  """Humanoid on procedural hfield terrain with mesh obstacles (BASELINE
+  config 4: ImplicitFast + mesh + hfield collisions).  The spawn region is
+  flat, so rewards/termination match the plane humanoid."""
+
+  xml_name = "humanoid_terrain.xml"
+
+  def _patch_mj_model(self, mjm) -> None:
+    import mjtpu
+
+    mjtpu.procedural_terrain(mjm)
+
+
 @register_env("humanoid_rich")
 class HumanoidRich(Humanoid):
   """Humanoid with a richer observation (contact forces + com quantities),

@@ -2,6 +2,7 @@
 forward_test.py disable-flag oracles): each flag toggled on a model that
 exercises it, 50-step trajectory must still track mj_step at f64."""
 
+import jax
 import jax.numpy as jnp
 import mujoco
 import numpy as np
@@ -51,9 +52,13 @@ def test_disable_flag_parity(model_name, flag):
       qvel=jnp.asarray(np.array(mjd.qvel)),
       ctrl=jnp.asarray(np.array(mjd.ctrl)),
   )
+  # jit (the production path): eager stepping here compiled thousands of
+  # per-primitive CPU executables across the 14 cases and eventually
+  # segfaulted XLA's in-process compiler
+  step = jax.jit(mjtpu.step)
   for i in range(50):
     mujoco.mj_step(mjm, mjd)
-    d = mjtpu.step(m, d)
+    d = step(m, d)
     err = max(
         np.abs(np.asarray(d.qpos) - mjd.qpos).max(),
         np.abs(np.asarray(d.qvel) - mjd.qvel).max(),

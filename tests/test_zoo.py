@@ -15,7 +15,8 @@ import mjtpu.zoo as zoo
 
 ALL_ENVS = [
     "cartpole", "halfcheetah", "hopper", "walker2d", "swimmer", "ant",
-    "humanoid", "humanoid_rich", "satellite", "satellite_large",
+    "humanoid", "humanoid_rich", "humanoid_terrain", "satellite",
+    "satellite_large",
 ]
 
 
