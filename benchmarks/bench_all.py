@@ -30,6 +30,7 @@ ASSETS = Path(__file__).resolve().parent.parent / "mjtpu" / "zoo" / "assets"
 
 def bench_one(model_name: str, batch: int, nsteps: int, nwarm: int) -> dict:
   mjm = mujoco.MjModel.from_xml_path(str(ASSETS / f"{model_name}.xml"))
+  mjtpu.procedural_terrain(mjm)
   m = mjtpu.put_model(mjm, dtype=jnp.float32)
   d0 = mjtpu.make_data(m)
   rng = np.random.default_rng(0)

@@ -21,6 +21,14 @@ if "host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_enable_x64", True)
+# persistent compile cache: XLA's in-process CPU compiler segfaults
+# sporadically after many compilations in one process (observed in
+# backend_compile_and_load across unrelated tests); cached executables
+# bypass the crashing path entirely on reruns, and completed compiles
+# survive a crashed run — so repeated runs converge to a warm, stable,
+# much faster suite
+jax.config.update("jax_compilation_cache_dir", "/tmp/mjtpu_xla_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 # the axon TPU plugin (loaded via the machine's PYTHONPATH sitecustomize)
 # force-claims the TPU regardless of JAX_PLATFORMS; parity tests MUST run on
