@@ -30,6 +30,19 @@ jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/mjtpu_xla_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
+# XLA's CPU JIT leaks ~1k mmap regions per large compiled executable; a full
+# one-process suite run crosses the default vm.max_map_count (65530) around
+# test ~68 and the NEXT executable load segfaults (measured: map count grew
+# 9k -> 65k over the run; crash stacks land wherever the allocation happens —
+# compile, cache write, or cache read).  Raise the limit when we can.
+try:
+  with open("/proc/sys/vm/max_map_count") as fh:
+    if int(fh.read()) < 262144:
+      with open("/proc/sys/vm/max_map_count", "w") as fw:
+        fw.write("1048576")
+except (OSError, PermissionError):
+  pass  # non-root or non-Linux: the per-file test recipe still works
+
 # the axon TPU plugin (loaded via the machine's PYTHONPATH sitecustomize)
 # force-claims the TPU regardless of JAX_PLATFORMS; parity tests MUST run on
 # CPU at f64.  Launch pytest as `PYTHONPATH=/root/repo python -m pytest ...`
