@@ -117,3 +117,11 @@ def test_f32_jit_parallel_capsules_finite():
   d = jax.jit(mjtpu.step)(m, d)
   assert np.isfinite(np.asarray(d.qpos)).all()
   assert np.isfinite(np.asarray(d.contact.dist)).all()
+
+
+@pytest.mark.integration
+@pytest.mark.parametrize("seed", range(6, 30))
+def test_fuzz_trajectory_wide(seed):
+  """Wide-seed sweep (release gate: RELEASE.md pre-release gates run with
+  -m integration); same oracle as test_fuzz_trajectory."""
+  test_fuzz_trajectory(seed)
