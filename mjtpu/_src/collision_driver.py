@@ -40,6 +40,8 @@ from mjtpu._src.types import (
 _PAIR_NCON: dict[tuple[int, int], int] = {
     (GeomType.PLANE, GeomType.SPHERE): 1,
     (GeomType.PLANE, GeomType.CAPSULE): 2,
+    (GeomType.PLANE, GeomType.ELLIPSOID): 1,
+    (GeomType.PLANE, GeomType.CYLINDER): 4,
     (GeomType.PLANE, GeomType.BOX): 4,
     (GeomType.PLANE, GeomType.MESH): 4,
     (GeomType.HFIELD, GeomType.SPHERE): 4,
@@ -324,6 +326,12 @@ def _collision_fn(m: Model, key: tuple, pairs: list[tuple[int, int, int]]) -> Ca
   table: dict[tuple[int, int], Callable] = {
       (GeomType.PLANE, GeomType.SPHERE): lambda: collision_primitive.plane_sphere,
       (GeomType.PLANE, GeomType.CAPSULE): lambda: collision_primitive.plane_capsule,
+      (GeomType.PLANE, GeomType.ELLIPSOID): (
+          lambda: collision_primitive.plane_ellipsoid
+      ),
+      (GeomType.PLANE, GeomType.CYLINDER): (
+          lambda: collision_primitive.plane_cylinder
+      ),
       (GeomType.PLANE, GeomType.BOX): lambda: functools.partial(
           collision_convex.plane_convex, hull2=hull(t2, s2)
       ),

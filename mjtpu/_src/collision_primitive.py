@@ -84,3 +84,83 @@ def capsule_capsule(pos1, mat1, size1, pos2, mat2, size2):
   )
   dist, pos, frame = _sphere_sphere_raw(p1, size1[0], p2, size2[0])
   return dist[None], pos[None], frame[None]
+
+
+def _soft_where(cond_margin, k, a, b):
+  """where(cond_margin > 0, a, b); sigmoid-blended in diff mode (the same
+  case-blending convention as collision_convex._blend)."""
+  if k is None:
+    return jnp.where(cond_margin > 0, a, b)
+  return math.sigmoid_blend(cond_margin, a, b, k)
+
+
+def plane_ellipsoid(pos1, mat1, size1, pos2, mat2, size2):
+  """One contact between a plane and an ellipsoid (mjc semantics: the
+  support point of the ellipsoid along the inward plane normal).
+
+  Capability-plus vs the reference, which ships this collider unregistered
+  (reference collision_primitive.py:77-85, dead code — SURVEY.md §2.4)."""
+  n = mat1[:, 2]
+  n_local = mat2.T @ n
+  support = -math.normalize(n_local * size2) * size2   # deepest point, local
+  pos = pos2 + mat2 @ support
+  dist = jnp.dot(n, pos - pos1)
+  pos = pos - n * dist * 0.5
+  return dist[None], pos[None], math.make_frame(n)[None]
+
+
+def plane_cylinder(pos1, mat1, size1, pos2, mat2, size2):
+  """Up to four contacts between a plane and a cylinder, matching MuJoCo C
+  (oracle-probed): the deepest cap-rim point, the same rim point on the
+  opposite cap (line contact when lying), and two +-120-degree flanking
+  rim points on the deep cap (disk contact when upright).  All four slots
+  are computed unconditionally and gate on penetration in the constraint
+  layer — no case switch, so the geometry is differentiable as-is.
+
+  Capability-plus vs the reference, which ships a 3-slot threshold-switch
+  version as unregistered dead code (collision_primitive.py:88-170); the
+  threshold branch deviates from C for moderately tilted lying cylinders."""
+  from mjtpu._src.collision_convex import _smooth_k
+
+  k = _smooth_k()
+  dtype = pos1.dtype
+  r, h = size2[0], size2[1]
+  n = mat1[:, 2]
+  axis = mat2[:, 2]
+
+  # orient the axis toward the plane (prjaxis <= 0 after the flip)
+  prjaxis0 = jnp.dot(n, axis)
+  sign = -_soft_where(prjaxis0, k, jnp.ones((), dtype), -jnp.ones((), dtype))
+  axis = axis * sign
+  prjaxis = prjaxis0 * sign
+
+  dist0 = jnp.dot(pos2 - pos1, n)
+
+  # radial direction of the deepest rim point: -normal with its axial
+  # component removed (degenerate when the axis is plane-perpendicular)
+  vec = axis * prjaxis - n
+  len_ = math.safe_norm(vec)
+  vec = _soft_where(
+      len_ - 1e-12, k, vec / jnp.maximum(1e-12, len_) * r, mat2[:, 0] * r
+  )
+  prjvec = jnp.dot(vec, n)
+
+  axis_h = axis * h
+  prjaxis_h = prjaxis * h
+  # flanking rim points at +-120 degrees around the deep cap disk
+  prjvec1 = -prjvec * 0.5
+  vec1 = math.normalize(jnp.cross(vec, axis)) * r * (jnp.sqrt(3.0) * 0.5)
+
+  d1 = dist0 + prjaxis_h + prjvec   # deep-cap rim
+  d2 = dist0 + prjaxis_h + prjvec1  # flanks on the deep cap
+  d3 = dist0 - prjaxis_h + prjvec   # opposite-cap rim (lying cylinders)
+  deep = pos2 + axis_h
+  dist = jnp.stack([d1, d3, d2, d2])
+  pos = jnp.stack([
+      deep + vec - n * d1 * 0.5,
+      pos2 - axis_h + vec - n * d3 * 0.5,
+      deep + vec1 - vec * 0.5 - n * d2 * 0.5,
+      deep - vec1 - vec * 0.5 - n * d2 * 0.5,
+  ])
+  frame = math.make_frame(n)
+  return dist, pos, jnp.stack([frame] * 4)

@@ -36,6 +36,7 @@ def main():
 
   xml = Path(mjtpu.__file__).parent / "zoo" / "assets" / f"{args.model}.xml"
   mjm = mujoco.MjModel.from_xml_string(xml.read_text())
+  mjtpu.procedural_terrain(mjm)
   m = mjtpu.put_model(mjm, dtype=jnp.float32)
   d = mjtpu.make_data(m)
   key = jax.random.PRNGKey(0)

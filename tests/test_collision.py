@@ -34,6 +34,21 @@ PAIR_SCENES = {
       <body pos="0 0 0.07" euler="0 80 0"><freejoint/>
         <geom type="capsule" size="0.08 0.2"/></body>
       </worldbody></mujoco>""",
+    "plane_ellipsoid": """<mujoco><worldbody>
+      <geom type="plane" size="2 2 0.1"/>
+      <body pos="0 0 0.11" euler="10 20 0"><freejoint/>
+        <geom type="ellipsoid" size="0.08 0.1 0.15"/></body>
+      </worldbody></mujoco>""",
+    "plane_cylinder": """<mujoco><worldbody>
+      <geom type="plane" size="2 2 0.1"/>
+      <body pos="0 0 0.12" euler="0 30 0"><freejoint/>
+        <geom type="cylinder" size="0.08 0.12"/></body>
+      </worldbody></mujoco>""",
+    "plane_cylinder_flat": """<mujoco><worldbody>
+      <geom type="plane" size="2 2 0.1"/>
+      <body pos="0 0 0.075" euler="0 90 0"><freejoint/>
+        <geom type="cylinder" size="0.08 0.12"/></body>
+      </worldbody></mujoco>""",
     "plane_box": """<mujoco><worldbody>
       <geom type="plane" size="2 2 0.1"/>
       <body pos="0 0 0.09" euler="5 3 0"><freejoint/>

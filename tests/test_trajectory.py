@@ -31,6 +31,10 @@ CONTACT_MODELS = [
     "condim4_pyramidal.xml",
     "condim4_elliptic.xml",
     "condim6_elliptic.xml",
+    # rolling cylinder + tumbling ellipsoid on a plane: the
+    # plane_cylinder/plane_ellipsoid colliders (capability-plus — the
+    # reference ships them as unregistered dead code)
+    "roll.xml",
 ]
 
 
