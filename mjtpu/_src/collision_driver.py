@@ -50,6 +50,7 @@ _PAIR_NCON: dict[tuple[int, int], int] = {
     (GeomType.HFIELD, GeomType.MESH): 4,
     (GeomType.SPHERE, GeomType.SPHERE): 1,
     (GeomType.SPHERE, GeomType.CAPSULE): 1,
+    (GeomType.SPHERE, GeomType.CYLINDER): 1,
     (GeomType.SPHERE, GeomType.BOX): 1,
     (GeomType.SPHERE, GeomType.MESH): 1,
     (GeomType.CAPSULE, GeomType.CAPSULE): 1,
@@ -352,6 +353,9 @@ def _collision_fn(m: Model, key: tuple, pairs: list[tuple[int, int, int]]) -> Ca
       ),
       (GeomType.SPHERE, GeomType.SPHERE): lambda: collision_primitive.sphere_sphere,
       (GeomType.SPHERE, GeomType.CAPSULE): lambda: collision_primitive.sphere_capsule,
+      (GeomType.SPHERE, GeomType.CYLINDER): (
+          lambda: collision_primitive.sphere_cylinder
+      ),
       (GeomType.SPHERE, GeomType.BOX): lambda: functools.partial(
           collision_convex.sphere_convex, hull2=hull(t2, s2)
       ),

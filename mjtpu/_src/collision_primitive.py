@@ -164,3 +164,64 @@ def plane_cylinder(pos1, mat1, size1, pos2, mat2, size2):
   ])
   frame = math.make_frame(n)
   return dist, pos, jnp.stack([frame] * 4)
+
+
+def sphere_cylinder(pos1, mat1, size1, pos2, mat2, size2):
+  """One contact between a sphere (geom1) and a cylinder (geom2), matching
+  MuJoCo C's analytic closest-point-on-solid-cylinder collider
+  (oracle-probed on side/cap/rim and interior cases).
+
+  Capability-plus vs the reference (no sphere-cylinder support there)."""
+  from mjtpu._src.collision_convex import _smooth_k
+
+  k = _smooth_k()
+  dtype = pos1.dtype
+  r_s = size1[0]
+  r_c, h = size2[0], size2[1]
+
+  c = mat2.T @ (pos1 - pos2)  # sphere center, cylinder local
+  rho_vec = c.at[2].set(0.0)
+  rho = math.safe_norm(rho_vec)
+  rho_hat = _soft_where(
+      rho - 1e-12, k,
+      rho_vec / jnp.maximum(1e-12, rho),
+      jnp.array([1.0, 0.0, 0.0], dtype),
+  )
+  z = c[2]
+
+  # --- outside: clamp to the solid cylinder ---
+  p_out = rho_hat * jnp.minimum(rho, r_c)
+  p_out = p_out.at[2].set(jnp.clip(z, -h, h))
+  u = c - p_out
+  u_len = math.safe_norm(u)
+  u_hat = _soft_where(
+      u_len - 1e-12, k, u / jnp.maximum(1e-12, u_len), rho_hat
+  )
+  dist_out = u_len - r_s
+
+  # --- inside: push out through the nearer of side wall / cap ---
+  gap_side = r_c - rho
+  gap_cap = h - jnp.abs(z)
+  use_side = gap_cap - gap_side  # > 0: the side wall is nearer
+  cap_n = jnp.array([0.0, 0.0, 1.0], dtype) * _soft_where(
+      z, k, jnp.ones((), dtype), -jnp.ones((), dtype)
+  )
+  n_in = _soft_where(use_side, k, rho_hat, cap_n)
+  dist_in = -(jnp.minimum(gap_side, gap_cap) + r_s)
+  p_in_side = rho_hat * r_c
+  p_in_side = p_in_side.at[2].set(z)
+  p_in_cap = c.at[2].set(
+      h * _soft_where(z, k, jnp.ones((), dtype), -jnp.ones((), dtype))
+  )
+  p_in = _soft_where(use_side, k, p_in_side, p_in_cap)
+
+  inside = jnp.minimum(gap_side, gap_cap)  # > 0 iff center inside
+  dist = _soft_where(inside, k, dist_in, dist_out)
+  n_out_local = _soft_where(inside, k, n_in, u_hat)
+  p_surf = _soft_where(inside, k, p_in, p_out)
+  pos_local = p_surf + 0.5 * dist * n_out_local
+
+  pos = pos2 + mat2 @ pos_local
+  # contact normal points from geom1 (sphere) into geom2 (cylinder)
+  n_world = -(mat2 @ n_out_local)
+  return dist[None], pos[None], math.make_frame(n_world)[None]

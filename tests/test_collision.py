@@ -72,6 +72,18 @@ PAIR_SCENES = {
       <body pos="0.19 0 0.02"><freejoint/>
         <geom type="box" size="0.1 0.1 0.1"/></body>
       </worldbody></mujoco>""",
+    "sphere_cylinder_side": """<mujoco><worldbody>
+      <geom type="cylinder" size="0.1 0.15"/>
+      <body pos="0.2 0.02 0.05"><freejoint/><geom type="sphere" size="0.12"/></body>
+      </worldbody></mujoco>""",
+    "sphere_cylinder_cap": """<mujoco><worldbody>
+      <geom type="cylinder" size="0.1 0.15"/>
+      <body pos="0.02 0.01 0.26"><freejoint/><geom type="sphere" size="0.12"/></body>
+      </worldbody></mujoco>""",
+    "sphere_cylinder_rim": """<mujoco><worldbody>
+      <geom type="cylinder" size="0.1 0.15" euler="15 10 0"/>
+      <body pos="0.16 0 0.21"><freejoint/><geom type="sphere" size="0.12"/></body>
+      </worldbody></mujoco>""",
     "capsule_capsule": """<mujoco><worldbody>
       <geom type="capsule" size="0.08 0.2" euler="0 90 0"/>
       <body pos="0 0.03 0.15"><freejoint/>

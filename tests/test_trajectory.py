@@ -35,6 +35,8 @@ CONTACT_MODELS = [
     # plane_cylinder/plane_ellipsoid colliders (capability-plus — the
     # reference ships them as unregistered dead code)
     "roll.xml",
+    # sphere dropped onto a lying cylinder: the sphere_cylinder collider
+    "sph_cyl.xml",
 ]
 
 
