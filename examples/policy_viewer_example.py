@@ -75,10 +75,12 @@ def main():
           f"({args.steps / dt:,.0f} steps/s), qpos[:3]={np.asarray(d.qpos[:3])}")
     return
 
-  import mujoco.viewer  # needs a display
+  # `import mujoco.viewer` would rebind `mujoco` as a local of main() and
+  # break the module-level import above (UnboundLocalError)
+  from mujoco import viewer as mj_viewer  # needs a display
 
   mjd = mujoco.MjData(mjm)
-  with mujoco.viewer.launch_passive(mjm, mjd) as viewer:
+  with mj_viewer.launch_passive(mjm, mjd) as viewer:
     for _ in range(args.steps):
       if not viewer.is_running():
         break

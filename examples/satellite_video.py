@@ -25,18 +25,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-import mjtpu
+
 from mjtpu.zoo import ENVS
 
 
 def record(env_name: str, out: Path, steps: int, size: int, fps: int = 25):
-  env = ENVS[env_name]()
-  m, rd = env.model, mjtpu.precompute_render_data(env.model)
+  # pixel_obs injects an observer camera when the asset has none (the
+  # satellite asset is camera-less) and renders through the env pipeline
+  env = ENVS[env_name](pixel_obs=True, pixel_size=(size, size))
   state = env.reset(jax.random.PRNGKey(0))
 
   step = jax.jit(env.step)
-  render = jax.jit(lambda d: mjtpu.render(
-      m, d, width=size, height=size, camera=0, rd=rd))
 
   nu = env.action_size
   phases = jnp.arange(nu) * (2 * math.pi / nu)
@@ -44,7 +43,7 @@ def record(env_name: str, out: Path, steps: int, size: int, fps: int = 25):
   for t in range(steps):
     action = 0.8 * jnp.sin(0.05 * t + phases)     # sinusoidal gimbal rates
     state = step(state, action)
-    img = np.asarray(render(state.data))
+    img = np.asarray(state.pixels)
     frames.append((np.clip(img, 0, 1) * 255).astype(np.uint8))
   imageio.mimsave(out, frames, fps=fps)
   print(f"{env_name}: wrote {len(frames)} frames -> {out}")

@@ -26,8 +26,8 @@ class Satellite(MjtpuEnv):
   episode_length = 500
   h0 = 5.0  # rotor momentum magnitude
 
-  def __init__(self, dtype=None):
-    super().__init__(dtype=dtype)
+  def __init__(self, dtype=None, **kwargs):
+    super().__init__(dtype=dtype, **kwargs)
     self.g_axes, self.s_axes0 = cmg.pyramid_cluster()
 
   def _cmg_torque(self, data):
@@ -73,8 +73,8 @@ class SatelliteLarge(Satellite):
 
   h0 = 8.0
 
-  def __init__(self, dtype=None):
-    MjtpuEnv.__init__(self, dtype=dtype)
+  def __init__(self, dtype=None, **kwargs):
+    MjtpuEnv.__init__(self, dtype=dtype, **kwargs)
     self.g_axes, self.s_axes0 = cmg.ortho_cluster()
     # only 4 gimbal joints exist in the MJCF; the large cluster uses the
     # first 4 + 2 virtual (fixed) gimbals folded into the Jacobian
