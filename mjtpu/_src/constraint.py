@@ -49,6 +49,13 @@ class _Rows(NamedTuple):
   solref: jax.Array        # (n, 2)
   solimp: jax.Array        # (n, 5)
   frictionloss: jax.Array  # (n,)
+  # regularization scale applied OUTSIDE the MINVAL floor:
+  # R = r_scale * max(MINVAL, invweight*(1-imp)/imp).  MuJoCo floors the
+  # base then scales (pyramidal 2*mu^2, elliptic friction 1/(impratio*
+  # mu_ratio^2)) — the order only matters for degenerate zero-invweight
+  # bodies, where scaling inside the floor gave D off by 2*mu^2
+  # (found by the seed-38 fuzz hunt)
+  r_scale: jax.Array | float = 1.0
 
 
 def _kbi(m: Model, solref, solimp, pos):
@@ -480,6 +487,7 @@ def _contact_rows(m: Model, d: Data) -> list[_Rows]:
       J = jn[:, None, :] * active[:, None, None]
       n_rows = 1
       invw = iw[:, None]
+      rscale = jnp.ones((k, 1), dtype)
       sr = solref[:, None, :]
       posr = pos[:, None]
     else:
@@ -494,9 +502,13 @@ def _contact_rows(m: Model, d: Data) -> list[_Rows]:
         J = jnp.stack([plus, minus], axis=2).reshape(k, 2 * (condim - 1), -1)
         J = J * active[:, None, None]
         n_rows = 2 * (condim - 1)
-        # all pyramid rows share the friction[0]-based invweight (mj C)
-        iw_p = (iw + mu[:, 0] ** 2 * iw) * 2.0 * mu[:, 0] ** 2
+        # all pyramid rows share the friction[0]-based invweight (mj C);
+        # the 2*mu^2 factor scales outside the R floor (see _Rows.r_scale)
+        iw_p = iw + mu[:, 0] ** 2 * iw
         invw = jnp.broadcast_to(iw_p[:, None], (k, n_rows))
+        rscale = jnp.broadcast_to(
+            (2.0 * mu[:, 0] ** 2)[:, None], (k, n_rows)
+        )
         sr = jnp.broadcast_to(solref[:, None, :], (k, n_rows, 2))
         posr = jnp.broadcast_to(pos[:, None], (k, n_rows))
       else:  # elliptic
@@ -504,11 +516,16 @@ def _contact_rows(m: Model, d: Data) -> list[_Rows]:
         J = J * active[:, None, None]
         n_rows = condim
         # friction-row regularization: D_i = D_n * impratio * (mu_i/mu_0)^2
+        # — applied outside the R floor (see _Rows.r_scale)
         mu_ratio2 = (f / jnp.maximum(math.MINVAL, mu[:, :1])) ** 2
-        iw_f = iw[:, None] / jnp.maximum(
-            math.MINVAL, m.opt.impratio * mu_ratio2
+        invw = jnp.broadcast_to(iw[:, None], (k, n_rows))
+        rscale = jnp.concatenate(
+            [
+                jnp.ones((k, 1), dtype),
+                1.0 / jnp.maximum(math.MINVAL, m.opt.impratio * mu_ratio2),
+            ],
+            axis=1,
         )
-        invw = jnp.concatenate([iw[:, None], iw_f], axis=1)
         # friction rows use solreffriction when nonzero
         use_srf = jnp.any(con.solreffriction[idx] != 0.0, axis=1, keepdims=True)
         srf_row = jnp.where(use_srf, con.solreffriction[idx], solref)
@@ -536,6 +553,7 @@ def _contact_rows(m: Model, d: Data) -> list[_Rows]:
             solref=sr.reshape(total, 2),
             solimp=jnp.broadcast_to(solimp[:, None, :], (k, n_rows, 5)).reshape(total, 5),
             frictionloss=jnp.zeros(total, dtype),
+            r_scale=rscale.reshape(total),
         )
     )
   return rows
@@ -573,6 +591,10 @@ def make_constraint(m: Model, d: Data) -> Data:
   pos_out = jnp.concatenate([r.pos_out for r in rows])
   margin = jnp.concatenate([r.margin for r in rows])
   invweight = jnp.concatenate([r.invweight for r in rows])
+  r_scale = jnp.concatenate([
+      jnp.broadcast_to(jnp.asarray(r.r_scale, dtype), r.pos.shape)
+      for r in rows
+  ])
   solref = jnp.concatenate([r.solref for r in rows])
   solimp = jnp.concatenate([r.solimp for r in rows])
   frictionloss = jnp.concatenate([r.frictionloss for r in rows])
@@ -581,8 +603,15 @@ def make_constraint(m: Model, d: Data) -> Data:
   k, b, imp = _kbi(m, solref, solimp, pos_imp)
   jv = J @ d.qvel
   aref = -b * jv - k * imp * pos - bias
-  R = jnp.maximum(math.MINVAL, invweight * (1.0 - imp) / jnp.maximum(math.MINVAL, imp))
-  D = 1.0 / R
+  # mj floors the base regularizer, THEN applies the row scale (pyramidal
+  # 2*mu^2 / elliptic friction-row divisor) — the order matters for
+  # degenerate zero-invweight rows (see _Rows.r_scale)
+  R = r_scale * jnp.maximum(
+      math.MINVAL, invweight * (1.0 - imp) / jnp.maximum(math.MINVAL, imp)
+  )
+  # no re-floor after scaling (C reports D = 1/R even for R below MINVAL);
+  # the tiny guard only prevents literal division by zero
+  D = 1.0 / jnp.maximum(jnp.finfo(dtype).tiny, R)
 
   return d.replace(
       efc_J=J,
