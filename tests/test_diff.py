@@ -109,3 +109,32 @@ def test_smooth_collisions_boxbox_blend():
   assert np.isfinite(np.asarray(g)), g
   np.testing.assert_allclose(np.asarray(g), np.asarray(fd), rtol=1e-3,
                              atol=1e-8)
+
+
+def test_cylinder_contact_gradients_finite():
+  """Gradients flow through the new plane_cylinder / sphere_cylinder
+  colliders (CFD mode): finite and nonzero."""
+  mjm = load_mj("sph_cyl.xml")
+  m = mjtpu.put_model(mjm)
+  with mjtpu.differentiable_mode(cfd=True, cfd_width=0.01):
+    loss = _loss_fn(m, nsteps=8)
+    g = jax.grad(loss)(jnp.zeros(mjm.nv))
+  assert np.isfinite(np.asarray(g)).all()
+  assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_roll_smooth_collisions_gradients():
+  """smooth_collisions blending through plane_cylinder's sign/degenerate
+  case selects: grad of contact dist wrt qpos is finite."""
+  mjm = load_mj("roll.xml")
+  m = mjtpu.put_model(mjm)
+
+  def deepest(dq):
+    d = mjtpu.make_data(m)
+    d = d.replace(qpos=d.qpos + dq)
+    d = mjtpu.fwd_position(m, d)
+    return jnp.min(d.contact.dist)
+
+  with mjtpu.differentiable_mode(smooth_collisions=True):
+    g = jax.grad(deepest)(jnp.zeros(m.nq))
+  assert np.isfinite(np.asarray(g)).all()
