@@ -65,8 +65,6 @@ def _validate(m: mujoco.MjModel) -> None:
   check_enum(m.wrap_type, (WrapType.JOINT,), "tendon wrap type") if m.nwrap else None
   if m.nwrap and set(int(w) for w in m.wrap_type) - {int(WrapType.JOINT)}:
     raise NotImplementedError("only fixed (joint-wrap) tendons are supported")
-  if m.nmocap:
-    raise NotImplementedError("mocap bodies are not supported yet")
   if m.nflex:
     raise NotImplementedError("flex objects are not supported")
   if m.opt.wind.any() and m.opt.density == 0 and m.opt.viscosity == 0:
@@ -128,13 +126,15 @@ def put_model(m: mujoco.MjModel, dtype=None, _full_compat: bool = False) -> Mode
       nhfield=m.nhfield, nhfielddata=m.nhfielddata, npair=m.npair,
       nexclude=m.nexclude, neq=m.neq, ntendon=m.ntendon, nwrap=m.nwrap,
       nsensor=m.nsensor, nsensordata=m.nsensordata, nM=m.nM,
+      nmocap=m.nmocap,
       opt=_option(m.opt, dtype),
       stat=Statistic(meaninertia=f(m.stat.meaninertia)),
       qpos0=f(m.qpos0), qpos_spring=f(m.qpos_spring),
   )
 
   static_names = [
-      "body_parentid", "body_rootid", "body_weldid", "body_jntnum",
+      "body_parentid", "body_mocapid", "body_rootid", "body_weldid",
+      "body_jntnum",
       "body_jntadr", "body_dofnum", "body_dofadr", "body_geomnum",
       "body_geomadr",
       "jnt_type", "jnt_qposadr", "jnt_dofadr", "jnt_bodyid", "jnt_limited",
@@ -251,6 +251,17 @@ def make_data(m: Model, dtype=None) -> Data:
   )
   eye3 = jnp.tile(jnp.eye(3, dtype=dtype), (nbody, 1, 1))
 
+  # mocap poses default to the model's body frames (mj_makeData semantics)
+  mid = np.asarray(m.body_mocapid)
+  if m.nmocap:
+    mocap_body = np.zeros(m.nmocap, dtype=int)
+    mocap_body[mid[mid >= 0]] = np.nonzero(mid >= 0)[0]
+    mocap_pos = jnp.asarray(m.body_pos[mocap_body], dtype=dtype)
+    mocap_quat = jnp.asarray(m.body_quat[mocap_body], dtype=dtype)
+  else:
+    mocap_pos = zero(0, 3)
+    mocap_quat = jnp.zeros((0, 4), dtype=dtype)
+
   contact = Contact.zero(ncon, dtype=dtype)
   if ncon:
     contact = contact.replace(
@@ -268,6 +279,8 @@ def make_data(m: Model, dtype=None) -> Data:
       qfrc_applied=zero(nv),
       xfrc_applied=zero(nbody, 6),
       eq_active=jnp.asarray(m.eq_active0.astype(bool)),
+      mocap_pos=mocap_pos,
+      mocap_quat=mocap_quat,
       qacc=zero(nv),
       act_dot=zero(m.na),
       xpos=zero(nbody, 3),
@@ -345,6 +358,8 @@ def put_data(m: Model, d: mujoco.MjData, dtype=None) -> Data:
       qfrc_applied=f(d.qfrc_applied),
       xfrc_applied=f(d.xfrc_applied),
       eq_active=jnp.asarray(np.array(d.eq_active, dtype=bool)),
+      mocap_pos=f(d.mocap_pos).reshape(m.nmocap, 3),
+      mocap_quat=f(d.mocap_quat).reshape(m.nmocap, 4),
   )
 
 
@@ -377,7 +392,7 @@ def get_data_into(result, m: Model, d: Data) -> None:
       "qLDiagInv", "cvel", "cdof_dot", "qfrc_bias", "qfrc_passive",
       "subtree_linvel", "subtree_angmom", "qfrc_actuator", "qfrc_smooth",
       "qacc_smooth", "qfrc_constraint", "qfrc_inverse", "cacc", "cfrc_int",
-      "cfrc_ext", "sensordata",
+      "cfrc_ext", "sensordata", "mocap_pos", "mocap_quat",
   ):
     val = np.asarray(getattr(d, name), dtype=np.float64)
     target = getattr(result, name)

@@ -36,6 +36,20 @@ from mjtpu._src.types import (
 def kinematics(m: Model, d: Data) -> Data:
   """Forward kinematics (mj_kinematics)."""
 
+  # mocap bodies: jointless children of the world whose frame comes from
+  # d.mocap_pos/mocap_quat instead of body_pos/body_quat (mj_kinematics;
+  # reference smooth.py:105-111).  Substituting before the tree scan gives
+  # the exact C override and propagates to any child bodies; the scan's
+  # final quat normalize matches C's mju_normalize4 of mocap_quat.
+  body_pos, body_quat = m.body_pos, m.body_quat
+  if m.nmocap:
+    mocap_bodies = np.nonzero(np.asarray(m.body_mocapid) >= 0)[0]
+    mocap_ids = np.asarray(m.body_mocapid)[mocap_bodies]
+    body_pos = body_pos.at[mocap_bodies].set(
+        d.mocap_pos[mocap_ids].astype(body_pos.dtype))
+    body_quat = body_quat.at[mocap_bodies].set(
+        d.mocap_quat[mocap_ids].astype(body_quat.dtype))
+
   def fn(carry, jnt_types, jnt_pos, jnt_axis, qpos, qpos0, body_pos, body_quat):
     if carry is None:
       pos, quat = body_pos, body_quat
@@ -94,8 +108,8 @@ def kinematics(m: Model, d: Data) -> Data:
       m.jnt_axis,
       d.qpos,
       m.qpos0,
-      m.body_pos,
-      m.body_quat,
+      body_pos,
+      body_quat,
   )
   if xanchor is None:  # model with no joints
     xanchor = jnp.zeros((m.njnt, 3), dtype=d.qpos.dtype)

@@ -354,6 +354,7 @@ class Model:
   nsensor: int = static()
   nsensordata: int = static()
   nM: int = static()
+  nmocap: int = static(0)
   # ---- options / statistics ----
   opt: Option = None
   stat: Statistic = None
@@ -362,6 +363,7 @@ class Model:
   qpos_spring: jax.Array = None
   # ---- bodies ----
   body_parentid: np.ndarray = static(None)
+  body_mocapid: np.ndarray = static(None)
   body_rootid: np.ndarray = static(None)
   body_weldid: np.ndarray = static(None)
   body_jntnum: np.ndarray = static(None)
@@ -634,6 +636,10 @@ class Data:
   qfrc_applied: jax.Array
   xfrc_applied: jax.Array
   eq_active: jax.Array
+  # mocap bodies: user-set poses, read by kinematics (mj_kinematics
+  # overrides xpos/xquat for body_mocapid >= 0; reference smooth.py:105-111)
+  mocap_pos: jax.Array
+  mocap_quat: jax.Array
   # dynamics
   qacc: jax.Array
   act_dot: jax.Array
