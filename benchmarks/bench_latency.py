@@ -32,6 +32,7 @@ import mjtpu
 def measure(model_name: str, batch: int, iters: int, warmup: int = 30):
   xml = Path(mjtpu.__file__).parent / "zoo" / "assets" / f"{model_name}.xml"
   mjm = mujoco.MjModel.from_xml_string(xml.read_text())
+  mjtpu.procedural_terrain(mjm)  # fill hfields (terrain assets ship flat)
   m = mjtpu.put_model(mjm, dtype=jnp.float32)
   d0 = mjtpu.make_data(m)
   rng = np.random.default_rng(0)

@@ -36,13 +36,19 @@ def main() -> int:
   ap.add_argument("--current", required=True)
   ap.add_argument("--threshold", type=float, default=0.30,
                   help="max allowed fractional regression")
+  ap.add_argument("--allow-missing", action="store_true",
+                  help="do not fail when a baseline config is absent from "
+                       "the current run (default: missing == failure, so "
+                       "coverage loss can't mask a regression)")
   args = ap.parse_args()
 
   base, cur = load(args.baseline), load(args.current)
   failed = False
   for key in sorted(base):
     if key not in cur:
-      print(f"MISSING  {key}: not in current run")
+      print(f"MISSING  {key}: not in current run"
+            + ("" if args.allow_missing else "  << FAILURE"))
+      failed = failed or not args.allow_missing
       continue
     ratio = cur[key] / base[key]
     flag = ""

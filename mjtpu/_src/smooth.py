@@ -330,7 +330,9 @@ def mass_blocks(m: Model) -> tuple[tuple[int, int], ...] | None:
   with independent small factorizations batched over blocks — the
   TPU-native equivalent of the reference's sparse LDL schedules (reference
   smooth.py:311-354, device.py:763-829; SURVEY.md §7 step 9).  A/B knob:
-  MJTPU_MASS_BLOCKS=0 forces the dense path."""
+  MJTPU_MASS_BLOCKS=0 forces the dense path — read at TRACE time (like
+  MJTPU_PALLAS_CHOL): flipping it after a function is jitted has no
+  effect; use separate jit wrappers for in-process A/Bs."""
   import os
 
   if m.nv == 0 or os.environ.get("MJTPU_MASS_BLOCKS", "1") == "0":
@@ -422,8 +424,9 @@ def factor_solve(
   """One-shot solve mat @ x = rhs respecting the static mass-block pattern.
 
   Used by the implicit-damping integrators: mat = qM ± h·D keeps qM's block
-  structure (diag damping is in-block; tendon damping couples only
-  tendon-merged blocks).  symmetric=False takes the LU path (ImplicitFast's
+  structure (diag damping is in-block; tendon damping cross-tree terms are
+  chain-pattern-masked everywhere — blocks never merge, matching C's
+  sparsity).  symmetric=False takes the LU path (ImplicitFast's
   qM − h·∂qfrc/∂qvel is not symmetric)."""
   blocks = mass_blocks(m)
   if blocks is None:

@@ -8,10 +8,10 @@ factorization is a 128-wide lane vector — the column loop is sequential in
 n (inherent to Cholesky) but every step is a fully vectorized VPU op over
 the batch.  Pivots clamp at MINVAL exactly like math.safe_cholesky.
 
-Enable in the engine with MJTPU_PALLAS_CHOL=1 (off by default: XLA's
-batched Cholesky is already near-roofline for the small nv of the zoo
-models; this kernel is the scaling path for big-nv scenes and fuses the
-factor with both triangular solves in one VMEM residency).
+On by default on the TPU backend via mjtpu/ops/fused.chol_solve (disable
+with MJTPU_PALLAS_CHOL=0; the env var is read at trace time).  Beyond the
+XLA batched Cholesky it fuses the factor with both triangular solves in
+one VMEM residency, and is the scaling path for big-nv scenes.
 """
 
 from __future__ import annotations

@@ -198,6 +198,8 @@ def test_forest_trajectory_implicitfast():
 
 
 def test_tendon_coupled_trajectory():
-  """Tendon-coupled trees merge into one block; parity preserved."""
+  """Tendons never merge blocks: cross-tree qM/qDeriv terms are masked to
+  MuJoCo's chain sparsity (see tendon_armature), so a tendon coupling two
+  trees still factors per-tree — this trajectory checks parity holds."""
   _run_traj_xml(TENDON_COUPLED_XML, "Euler")
   _run_traj_xml(TENDON_COUPLED_XML, "implicitfast")
