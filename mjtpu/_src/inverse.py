@@ -27,13 +27,7 @@ def _inv_constraint(m: Model, d: Data) -> Data:
     )
   meta = solver._efc_meta(m)
   jaref = d.efc_J @ d.qacc - d.efc_aref
-  mu_rows = jnp.zeros(nefc, dtype=d.qpos.dtype)
-  if meta.elliptic_blocks:
-    addr = collision_driver.contact_efc_address(m, ne, nf, nl)
-    dims = collision_driver.make_condim(m)
-    for c, (a, dim) in enumerate(zip(addr, dims)):
-      if dim > 1:
-        mu_rows = mu_rows.at[int(a)].set(d.contact.friction[c, 0])
+  mu_rows = solver._mu_rows(meta, d.contact.friction, d.qpos.dtype)
   force, _, _ = solver._row_costs(
       m, meta, jaref, d.efc_D, d.efc_frictionloss, mu_rows
   )

@@ -50,39 +50,66 @@ class _EfcMeta(NamedTuple):
   nf: int
   nl: int
   nefc: int
-  # elliptic contact blocks: list of (row_start, dim)
-  elliptic_blocks: tuple
+  # elliptic contacts grouped by condim (contacts are condim-sorted by the
+  # driver): ((dim, row_starts, contact_ids), ...), all-int tuples.  Each
+  # group is processed as ONE batched computation over its K contacts, so
+  # trace and compile size stay flat in ncon (the reference unrolls a
+  # python loop per contact instead, solver.py:133-157/193-218/272-289).
+  elliptic_groups: tuple
 
 
 def _efc_meta(m: Model) -> _EfcMeta:
   from mjtpu._src import collision_driver
 
   ne, nf, nl, nefc = support.count_constraints(m)
-  blocks = []
+  by_dim: dict = {}
   if m.opt.cone == ConeType.ELLIPTIC:
     dims = collision_driver.make_condim(m)
     addr = collision_driver.contact_efc_address(m, ne, nf, nl)
-    for a, dim in zip(addr, dims):
+    for c, (a, dim) in enumerate(zip(addr, dims)):
       if dim > 1:
-        blocks.append((int(a), int(dim)))
-  return _EfcMeta(ne, nf, nl, nefc, tuple(blocks))
+        by_dim.setdefault(int(dim), []).append((int(a), c))
+  groups = tuple(
+      (dim, tuple(a for a, _ in lst), tuple(c for _, c in lst))
+      for dim, lst in sorted(by_dim.items())
+  )
+  return _EfcMeta(ne, nf, nl, nefc, groups)
 
 
-def _elliptic_geometry(blk_u, blk_d, mu0):
-  """Shared elliptic-cone quantities for a contact block.
+def _elliptic_geometry(U, D, mu0):
+  """Shared elliptic-cone quantities, batched over K same-dim contacts.
 
-  Transforms the anisotropic friction cone to a circular cone in a
-  D-weighted space: v_i = u_i sqrt(D_i/D_n), effective slope
-  mu_t = mu_0 sqrt(D_n/D_t1) (= mu_0/sqrt(impratio) for standard params).
-  Returns (N, T, mu_t, v_scale, Dm) with Dm = D_n/(1 + mu_t^2)."""
-  d_n = blk_d[0]
-  v_scale = jnp.sqrt(blk_d[1:] / jnp.maximum(math.MINVAL, d_n))
-  v = blk_u[1:] * v_scale
-  N = blk_u[0]
-  T = math.safe_norm(v)
-  mu_t = mu0 * jnp.sqrt(d_n / jnp.maximum(math.MINVAL, blk_d[1]))
+  U, D: (K, dim); mu0: (K,).  Transforms the anisotropic friction cone to
+  a circular cone in a D-weighted space: v_i = u_i sqrt(D_i/D_n),
+  effective slope mu_t = mu_0 sqrt(D_n/D_t1) (= mu_0/sqrt(impratio) for
+  standard params).  Returns (N, T, mu_t, v_scale, Dm) with
+  Dm = D_n/(1 + mu_t^2); N/T/mu_t/Dm are (K,), v_scale is (K, dim-1)."""
+  d_n = D[:, 0]
+  v_scale = jnp.sqrt(D[:, 1:] / jnp.maximum(math.MINVAL, d_n)[:, None])
+  v = U[:, 1:] * v_scale
+  N = U[:, 0]
+  T = jax.vmap(math.safe_norm)(v)
+  mu_t = mu0 * jnp.sqrt(d_n / jnp.maximum(math.MINVAL, D[:, 1]))
   dm = d_n / (1.0 + mu_t * mu_t)
   return N, T, mu_t, v_scale, dm
+
+
+def _group_rows(starts, dim):
+  """(K, dim) static row-index array for one elliptic group."""
+  return np.asarray(starts)[:, None] + np.arange(dim)[None, :]
+
+
+def _mu_rows(meta: _EfcMeta, contact_friction, dtype):
+  """(nefc,) per-row mu — contact friction[0] scattered to each elliptic
+  block's normal row (one static scatter; zeros elsewhere)."""
+  mu = jnp.zeros(meta.nefc, dtype=dtype)
+  if meta.elliptic_groups:
+    starts_all = np.concatenate(
+        [np.asarray(s) for _, s, _ in meta.elliptic_groups])
+    cids_all = np.concatenate(
+        [np.asarray(c) for _, _, c in meta.elliptic_groups])
+    mu = mu.at[starts_all].set(contact_friction[cids_all, 0])
+  return mu
 
 
 def _row_costs(m: Model, meta: _EfcMeta, Jaref, efc_D, efc_frictionloss, mu):
@@ -129,32 +156,37 @@ def _row_costs(m: Model, meta: _EfcMeta, Jaref, efc_D, efc_frictionloss, mu):
   cost = jnp.where(is_ineq & ~active, 0.0, cost)
   quad = jnp.where(is_ineq & ~active, False, quad)
 
-  # elliptic cone blocks override their rows
-  for start, dim in meta.elliptic_blocks:
-    blk = jax.lax.dynamic_slice(Jaref, (start,), (dim,))
-    d_blk = jax.lax.dynamic_slice(efc_D, (start,), (dim,))
-    N, T, mu_t, v_scale, dm = _elliptic_geometry(blk, d_blk, mu[start])
-    top = N >= mu_t * T
+  # elliptic cone groups override their rows (batched over each group's K)
+  for dim, starts, _ in meta.elliptic_groups:
+    idx = _group_rows(starts, dim)                      # (K, dim) static
+    U = Jaref[idx]
+    Db = efc_D[idx]
+    N, T, mu_t, v_scale, dm = _elliptic_geometry(U, Db, mu[np.asarray(starts)])
+    top = N >= mu_t * T                                 # (K,)
     bottom = (mu_t * N + T) <= 0
     nmt = N - mu_t * T
     mid_cost = 0.5 * dm * nmt * nmt
     # middle-zone force: fn = -dm*(N - mu*T); ft_i = (D_i/D_n) dm mu nmt u_i/T
     fn_mid = -dm * nmt
     tsafe = jnp.maximum(math.MINVAL, T)
-    ft_mid = (d_blk[1:] / d_blk[0]) * dm * mu_t * nmt * blk[1:] / tsafe
-    f_mid = jnp.concatenate([fn_mid[None], ft_mid])
+    ft_mid = (
+        (Db[:, 1:] / Db[:, :1]) * dm[:, None] * mu_t[:, None] * nmt[:, None]
+        * U[:, 1:] / tsafe[:, None]
+    )
+    f_mid = jnp.concatenate([fn_mid[:, None], ft_mid], axis=1)
 
-    f_bottom = -d_blk * blk
-    c_bottom = 0.5 * jnp.sum(d_blk * blk * blk)
+    f_bottom = -Db * U
+    c_bottom = 0.5 * jnp.sum(Db * U * U, axis=1)
 
-    f_blk = jnp.where(top, 0.0, jnp.where(bottom, f_bottom, f_mid))
+    f_blk = jnp.where(
+        top[:, None], 0.0, jnp.where(bottom[:, None], f_bottom, f_mid)
+    )
     c_blk = jnp.where(top, 0.0, jnp.where(bottom, c_bottom, mid_cost))
-    force = jax.lax.dynamic_update_slice(force, f_blk, (start,))
-    # zero this block's default cost contribution, add cone cost separately
-    cost = jax.lax.dynamic_update_slice(cost, jnp.zeros(dim, dtype), (start,))
-    cost = cost.at[start].set(c_blk)
-    quad_blk = jnp.where(bottom, jnp.ones(dim, dtype=bool), jnp.zeros(dim, dtype=bool))
-    quad = jax.lax.dynamic_update_slice(quad, quad_blk, (start,))
+    force = force.at[idx].set(f_blk)
+    # zero the blocks' default cost contribution, add cone cost on row 0
+    cost = cost.at[idx].set(jnp.zeros_like(f_blk))
+    cost = cost.at[np.asarray(starts)].set(c_blk)
+    quad = quad.at[idx].set(jnp.broadcast_to(bottom[:, None], idx.shape))
 
   return force, jnp.sum(cost), quad
 
@@ -189,33 +221,36 @@ def _linesearch_derivs(m, meta, Jaref, jv, efc_D, efc_frictionloss, mu, alpha, g
   dphi = g1 + 2.0 * g2 * alpha + jnp.sum(dquad)
   ddphi = 2.0 * g2 + jnp.sum(ddquad)
 
-  # elliptic blocks: replace their rows' contribution with cone derivative
-  for start, dim in meta.elliptic_blocks:
-    blk_x = jax.lax.dynamic_slice(x, (start,), (dim,))
-    blk_jv = jax.lax.dynamic_slice(jv, (start,), (dim,))
-    blk_d = jax.lax.dynamic_slice(efc_D, (start,), (dim,))
-    N, T, mu_t, v_scale, dm = _elliptic_geometry(blk_x, blk_d, mu[start])
-    jn, ju = blk_jv[0], blk_jv[1:] * v_scale
-    v = blk_x[1:] * v_scale
+  # elliptic groups: replace their rows' contribution with cone derivative
+  for dim, starts, _ in meta.elliptic_groups:
+    idx = _group_rows(starts, dim)                      # (K, dim) static
+    X = x[idx]
+    JV = jv[idx]
+    Db = efc_D[idx]
+    N, T, mu_t, v_scale, dm = _elliptic_geometry(X, Db, mu[np.asarray(starts)])
+    jn, ju = JV[:, 0], JV[:, 1:] * v_scale
+    v = X[:, 1:] * v_scale
     top = N >= mu_t * T
     bottom = (mu_t * N + T) <= 0
     # remove the default (quadratic one-sided) contribution of these rows
-    blk_active = blk_x < 0
-    dphi = dphi - jnp.sum(jnp.where(blk_active, blk_d * blk_x * blk_jv, 0.0))
-    ddphi = ddphi - jnp.sum(jnp.where(blk_active, blk_d * blk_jv * blk_jv, 0.0))
+    blk_active = X < 0
+    dphi = dphi - jnp.sum(jnp.where(blk_active, Db * X * JV, 0.0))
+    ddphi = ddphi - jnp.sum(jnp.where(blk_active, Db * JV * JV, 0.0))
     # bottom: full quadratic
-    d_bot = jnp.sum(blk_d * blk_x * blk_jv)
-    dd_bot = jnp.sum(blk_d * blk_jv * blk_jv)
+    d_bot = jnp.sum(Db * X * JV, axis=1)
+    dd_bot = jnp.sum(Db * JV * JV, axis=1)
     # middle: cone cost 0.5*dm*(N - mu T)^2
     tsafe = jnp.maximum(math.MINVAL, T)
-    dt = jnp.dot(v, ju) / tsafe
-    ddt = (jnp.dot(ju, ju) - dt * dt) / tsafe
+    dt = jnp.sum(v * ju, axis=1) / tsafe
+    ddt = (jnp.sum(ju * ju, axis=1) - dt * dt) / tsafe
     nmt = N - mu_t * T
     dnmt = jn - mu_t * dt
     d_mid = dm * nmt * dnmt
     dd_mid = dm * (dnmt * dnmt + nmt * (-mu_t) * ddt)
-    dphi = dphi + jnp.where(top, 0.0, jnp.where(bottom, d_bot, d_mid))
-    ddphi = ddphi + jnp.where(top, 0.0, jnp.where(bottom, dd_bot, dd_mid))
+    dphi = dphi + jnp.sum(
+        jnp.where(top, 0.0, jnp.where(bottom, d_bot, d_mid)))
+    ddphi = ddphi + jnp.sum(
+        jnp.where(top, 0.0, jnp.where(bottom, dd_bot, dd_mid)))
 
   return dphi, ddphi
 
@@ -239,15 +274,7 @@ def solve(m: Model, d: Data, fixed_iterations: bool = False) -> Data:
   qacc_smooth = d.qacc_smooth
 
   # per-row mu (contact friction[0]) for elliptic cones
-  mu_rows = jnp.zeros(nefc, dtype=dtype)
-  if meta.elliptic_blocks:
-    from mjtpu._src import collision_driver
-
-    addr = collision_driver.contact_efc_address(m, meta.ne, meta.nf, meta.nl)
-    dims = collision_driver.make_condim(m)
-    for c, (a, dim) in enumerate(zip(addr, dims)):
-      if dim > 1:
-        mu_rows = mu_rows.at[int(a)].set(d.contact.friction[c, 0])
+  mu_rows = _mu_rows(meta, d.contact.friction, dtype)
 
   newton = m.opt.solver == SolverType.NEWTON
 
@@ -269,24 +296,37 @@ def solve(m: Model, d: Data, fixed_iterations: bool = False) -> Data:
         h = h + (1e-6 * m.stat.meaninertia) * jnp.eye(m.nv, dtype=dtype)
       # exact cone Hessian for middle-zone elliptic blocks:
       #   H = Dm a a' - (Dm nmt mu / T) S (I - vv') S,  a = (1, -mu S v_hat)
-      for start, dim in meta.elliptic_blocks:
-        blk = jax.lax.dynamic_slice(Jaref, (start,), (dim,))
-        d_blk = jax.lax.dynamic_slice(efc_D, (start,), (dim,))
-        jblk = jax.lax.dynamic_slice(efc_J, (start, 0), (dim, m.nv))
-        N, T, mu_t, v_scale, dm = _elliptic_geometry(blk, d_blk, mu_rows[start])
+      # batched per condim group: hcone (K,dim,dim), then one pair of
+      # matmuls folds all K congruences J'HJ into h (MXU-shaped)
+      for dim, starts, _ in meta.elliptic_groups:
+        idx = _group_rows(starts, dim)                  # (K, dim) static
+        K = idx.shape[0]
+        U = Jaref[idx]
+        Db = efc_D[idx]
+        Jblk = efc_J[idx]                               # (K, dim, nv)
+        N, T, mu_t, v_scale, dm = _elliptic_geometry(
+            U, Db, mu_rows[np.asarray(starts)])
         middle = (N < mu_t * T) & ((mu_t * N + T) > 0)
         tsafe = jnp.maximum(math.MINVAL, T)
-        v_hat = blk[1:] * v_scale / tsafe
-        a = jnp.concatenate([jnp.ones(1, dtype), -mu_t * v_scale * v_hat])
-        hcone = dm * jnp.outer(a, a)
+        v_hat = U[:, 1:] * v_scale / tsafe[:, None]
+        a = jnp.concatenate(
+            [jnp.ones((K, 1), dtype), -mu_t[:, None] * v_scale * v_hat],
+            axis=1,
+        )
+        hcone = dm[:, None, None] * a[:, :, None] * a[:, None, :]
         nmt = N - mu_t * T
         curv = -(dm * nmt * mu_t / tsafe)
-        pmat = jnp.eye(dim - 1, dtype=dtype) - jnp.outer(v_hat, v_hat)
-        hcone = hcone.at[1:, 1:].add(
-            curv * (v_scale[:, None] * pmat * v_scale[None, :])
+        pmat = (
+            jnp.eye(dim - 1, dtype=dtype)[None]
+            - v_hat[:, :, None] * v_hat[:, None, :]
         )
-        hcone = jnp.where(middle, hcone, jnp.zeros_like(hcone))
-        h = h + jblk.T @ hcone @ jblk
+        hcone = hcone.at[:, 1:, 1:].add(
+            curv[:, None, None]
+            * (v_scale[:, :, None] * pmat * v_scale[:, None, :])
+        )
+        hcone = jnp.where(middle[:, None, None], hcone, jnp.zeros_like(hcone))
+        hj = jnp.einsum("kij,kjv->kiv", hcone, Jblk)
+        h = h + jnp.einsum("kiv,kiw->vw", Jblk, hj)
       mgrad = fused.chol_solve(h, grad)
     else:
       mgrad = smooth.solve_m(m, d, grad)
