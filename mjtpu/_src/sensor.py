@@ -6,8 +6,12 @@ reference silently zeroes (SURVEY.md §2.4): ACCELEROMETER/FORCE/TORQUE read
 rne_postconstraint's cacc/cfrc_int, SUBTREELINVEL/SUBTREEANGMOM read
 subtree_vel — both implemented in smooth.py.
 
-Sensors iterate host-side over the static sensor table (grouping happens
-implicitly — nsensor is small and XLA fuses the gathers).
+Sensors are grouped at trace time by (type, objtype, reftype, datatype,
+dim) — the TPU analog of the reference's sensor-group precompute
+(reference device.py:381-585): each group runs as ONE batched gather /
+compute / scatter, so graph and compile size stay flat in nsensor.  The
+only per-sensor unroll left is RANGEFINDER, whose bodyexclude drives
+static geom filtering inside ray().
 """
 
 from __future__ import annotations
@@ -24,70 +28,135 @@ from mjtpu._src.types import (
     Model,
     ObjType,
     SensorType,
+    TrnType,
 )
 
 # mjtStage values
 _STAGE_POS, _STAGE_VEL, _STAGE_ACC = 1, 2, 3
 
+_NO_REF = -2  # reftype placeholder for sensors without a reference frame
 
-def _apply_cutoff(m: Model, i: int, val: jax.Array) -> jax.Array:
-  cutoff = m.sensor_cutoff[i]
-  dt = DataType(int(m.sensor_datatype[i]))
+
+def _groups(m: Model, stage: int):
+  """Sensors of one stage grouped by type signature, in model order.
+
+  Key = (type, objtype, reftype-or-_NO_REF, datatype, dim); value = list of
+  sensor indices.  Everything in the key is trace-time static, so each
+  group lowers to one batched computation."""
+  out: dict = {}
+  for i in range(m.nsensor):
+    if int(m.sensor_needstage[i]) != stage:
+      continue
+    key = (
+        int(m.sensor_type[i]),
+        int(m.sensor_objtype[i]),
+        int(m.sensor_reftype[i]) if int(m.sensor_refid[i]) >= 0 else _NO_REF,
+        int(m.sensor_datatype[i]),
+        int(m.sensor_dim[i]),
+    )
+    out.setdefault(key, []).append(i)
+  return out.items()
+
+
+def _write(m: Model, sd, ids, dim, datatype, vals):
+  """Cutoff-clamps a group's (K, dim) values and scatters into sensordata
+  at static flat indices."""
+  vals = vals.reshape(len(ids), dim)
+  cut = m.sensor_cutoff[np.asarray(ids)][:, None]
+  dt = DataType(datatype)
   if dt == DataType.REAL:
-    return jnp.where(cutoff > 0, jnp.clip(val, -cutoff, cutoff), val)
-  if dt == DataType.POSITIVE:
-    return jnp.where(cutoff > 0, jnp.minimum(val, cutoff), val)
-  return val
+    vals = jnp.where(cut > 0, jnp.clip(vals, -cut, cut), vals)
+  elif dt == DataType.POSITIVE:
+    vals = jnp.where(cut > 0, jnp.minimum(vals, cut), vals)
+  adr = np.asarray(m.sensor_adr)[np.asarray(ids)]
+  flat = (adr[:, None] + np.arange(dim)[None, :]).reshape(-1)
+  return sd.at[flat].set(vals.reshape(-1).astype(sd.dtype))
 
 
-def _obj_pos_mat(m: Model, d: Data, objtype: int, objid: int):
+def _obj_pos_mat(m: Model, d: Data, objtype: int, ids: np.ndarray):
+  """Batched (pos (K,3), mat (K,3,3)) of object frames of one type."""
   objtype = ObjType(objtype)
   if objtype == ObjType.BODY:
-    return d.xipos[objid], d.ximat[objid]
+    return d.xipos[ids], d.ximat[ids]
   if objtype == ObjType.XBODY:
-    return d.xpos[objid], d.xmat[objid]
+    return d.xpos[ids], d.xmat[ids]
   if objtype == ObjType.GEOM:
-    return d.geom_xpos[objid], d.geom_xmat[objid]
+    return d.geom_xpos[ids], d.geom_xmat[ids]
   if objtype == ObjType.SITE:
-    return d.site_xpos[objid], d.site_xmat[objid]
+    return d.site_xpos[ids], d.site_xmat[ids]
   if objtype == ObjType.CAMERA:
-    return d.cam_xpos[objid], d.cam_xmat[objid]
+    return d.cam_xpos[ids], d.cam_xmat[ids]
   raise NotImplementedError(objtype)
 
 
-def _obj_bodyid(m: Model, objtype: int, objid: int) -> int:
+def _obj_bodyid(m: Model, objtype: int, ids: np.ndarray) -> np.ndarray:
   objtype = ObjType(objtype)
   if objtype in (ObjType.BODY, ObjType.XBODY):
-    return int(objid)
+    return np.asarray(ids)
   if objtype == ObjType.GEOM:
-    return int(m.geom_bodyid[objid])
+    return np.asarray(m.geom_bodyid)[ids]
   if objtype == ObjType.SITE:
-    return int(m.site_bodyid[objid])
+    return np.asarray(m.site_bodyid)[ids]
   if objtype == ObjType.CAMERA:
-    return int(m.cam_bodyid[objid])
+    return np.asarray(m.cam_bodyid)[ids]
   raise NotImplementedError(objtype)
 
 
-def _object_velocity(m: Model, d: Data, objtype: int, objid: int, local: bool):
-  """6D (ang, lin) velocity of an object frame (mj_objectVelocity)."""
-  pos, mat = _obj_pos_mat(m, d, objtype, objid)
-  b = _obj_bodyid(m, objtype, objid)
-  rc = d.subtree_com[int(m.body_rootid[b])]
-  rot = mat.T if local else jnp.eye(3, dtype=pos.dtype)
-  return math.transform_motion(d.cvel[b], pos - rc, rot)
+def _rot(mat, local: bool, k: int, dtype):
+  if local:
+    return mat.transpose(0, 2, 1)
+  return jnp.broadcast_to(jnp.eye(3, dtype=dtype), (k, 3, 3))
 
 
-def _object_acceleration(m: Model, d: Data, objtype: int, objid: int, local: bool):
-  """6D (ang, lin) acceleration of an object frame (mj_objectAcceleration)."""
-  pos, mat = _obj_pos_mat(m, d, objtype, objid)
-  b = _obj_bodyid(m, objtype, objid)
-  rc = d.subtree_com[int(m.body_rootid[b])]
-  rot = mat.T if local else jnp.eye(3, dtype=pos.dtype)
-  acc = math.transform_motion(d.cacc[b], pos - rc, rot)
-  vel = math.transform_motion(d.cvel[b], pos - rc, rot)
+def _object_velocity(m, d, objtype, ids, local):
+  """Batched 6D (ang, lin) velocities of object frames (mj_objectVelocity)."""
+  pos, mat = _obj_pos_mat(m, d, objtype, ids)
+  b = _obj_bodyid(m, objtype, ids)
+  rc = d.subtree_com[np.asarray(m.body_rootid)[b]]
+  rot = _rot(mat, local, len(b), pos.dtype)
+  return jax.vmap(math.transform_motion)(d.cvel[b], pos - rc, rot)
+
+
+def _object_acceleration(m, d, objtype, ids, local):
+  """Batched 6D accelerations of object frames (mj_objectAcceleration)."""
+  pos, mat = _obj_pos_mat(m, d, objtype, ids)
+  b = _obj_bodyid(m, objtype, ids)
+  rc = d.subtree_com[np.asarray(m.body_rootid)[b]]
+  rot = _rot(mat, local, len(b), pos.dtype)
+  acc = jax.vmap(math.transform_motion)(d.cacc[b], pos - rc, rot)
+  vel = jax.vmap(math.transform_motion)(d.cvel[b], pos - rc, rot)
   # add centripetal correction to linear part: w x v
-  correction = jnp.cross(vel[:3], vel[3:])
-  return acc.at[3:].add(correction)
+  correction = jnp.cross(vel[:, :3], vel[:, 3:])
+  return acc.at[:, 3:].add(correction)
+
+
+def _frame_quat(m: Model, d: Data, objtype: int, ids: np.ndarray):
+  """Batched frame quaternions per object type (FRAMEQUAT semantics)."""
+  objtype = ObjType(objtype)
+  v_qmul = jax.vmap(math.quat_mul)
+  if objtype == ObjType.BODY:
+    return v_qmul(d.xquat[ids], m.body_iquat[ids])
+  if objtype == ObjType.XBODY:
+    return d.xquat[ids]
+  if objtype == ObjType.GEOM:
+    return v_qmul(d.xquat[np.asarray(m.geom_bodyid)[ids]], m.geom_quat[ids])
+  if objtype == ObjType.SITE:
+    return v_qmul(d.xquat[np.asarray(m.site_bodyid)[ids]], m.site_quat[ids])
+  if objtype == ObjType.CAMERA:
+    return jax.vmap(math.mat_to_quat)(d.cam_xmat[ids])
+  raise NotImplementedError(objtype)
+
+
+def _rotate_into(rmat, vec):
+  """(K,) batched rmat.T @ vec."""
+  return jnp.einsum("kij,ki->kj", rmat, vec)
+
+
+_AXIS_COL = {
+    SensorType.FRAMEXAXIS: 0,
+    SensorType.FRAMEYAXIS: 1,
+    SensorType.FRAMEZAXIS: 2,
+}
 
 
 def sensor_pos(m: Model, d: Data) -> Data:
@@ -95,100 +164,66 @@ def sensor_pos(m: Model, d: Data) -> Data:
   if (m.opt.disableflags & DisableBit.SENSOR) or not m.nsensor:
     return d
   sd = d.sensordata
-  for i in range(m.nsensor):
-    if int(m.sensor_needstage[i]) != _STAGE_POS:
-      continue
-    stype = SensorType(int(m.sensor_type[i]))
-    objid = int(m.sensor_objid[i])
-    adr = int(m.sensor_adr[i])
-    dim = int(m.sensor_dim[i])
+  for key, ids in _groups(m, _STAGE_POS):
+    stype, objtype, reftype, datatype, dim = key
+    stype = SensorType(stype)
+    objid = np.asarray(m.sensor_objid)[ids]
+    refid = np.asarray(m.sensor_refid)[ids]
+    has_ref = reftype != _NO_REF
 
     if stype == SensorType.MAGNETOMETER:
-      val = d.site_xmat[objid].T @ m.opt.magnetic
+      val = jnp.einsum("kij,i->kj", d.site_xmat[objid], m.opt.magnetic)
     elif stype == SensorType.RANGEFINDER:
       from mjtpu._src import ray as ray_mod
 
-      site_body = int(m.site_bodyid[objid])
-      dist, _ = ray_mod.ray(
-          m,
-          d,
-          d.site_xpos[objid],
-          d.site_xmat[objid][:, 2],
-          bodyexclude=site_body,
-      )
-      val = dist
+      dists = []
+      for oid in objid:
+        dist, _ = ray_mod.ray(
+            m,
+            d,
+            d.site_xpos[oid],
+            d.site_xmat[oid][:, 2],
+            bodyexclude=int(m.site_bodyid[oid]),
+        )
+        dists.append(dist)
+      val = jnp.stack(dists)
     elif stype == SensorType.JOINTPOS:
-      val = d.qpos[int(m.jnt_qposadr[objid])]
+      val = d.qpos[np.asarray(m.jnt_qposadr)[objid]]
     elif stype == SensorType.TENDONPOS:
       val = d.ten_length[objid]
     elif stype == SensorType.ACTUATORPOS:
       val = d.actuator_length[objid]
     elif stype == SensorType.BALLQUAT:
-      qadr = int(m.jnt_qposadr[objid])
-      val = math.normalize(d.qpos[qadr : qadr + 4])
+      qadr = np.asarray(m.jnt_qposadr)[objid]
+      val = jax.vmap(math.normalize)(d.qpos[qadr[:, None] + np.arange(4)])
     elif stype == SensorType.FRAMEPOS:
-      pos, _ = _obj_pos_mat(m, d, int(m.sensor_objtype[i]), objid)
-      refid = int(m.sensor_refid[i])
-      if refid >= 0:
-        rpos, rmat = _obj_pos_mat(m, d, int(m.sensor_reftype[i]), refid)
-        val = rmat.T @ (pos - rpos)
+      pos, _ = _obj_pos_mat(m, d, objtype, objid)
+      if has_ref:
+        rpos, rmat = _obj_pos_mat(m, d, reftype, refid)
+        val = _rotate_into(rmat, pos - rpos)
       else:
         val = pos
-    elif stype in (
-        SensorType.FRAMEXAXIS,
-        SensorType.FRAMEYAXIS,
-        SensorType.FRAMEZAXIS,
-    ):
-      col = {
-          SensorType.FRAMEXAXIS: 0,
-          SensorType.FRAMEYAXIS: 1,
-          SensorType.FRAMEZAXIS: 2,
-      }[stype]
-      _, mat = _obj_pos_mat(m, d, int(m.sensor_objtype[i]), objid)
-      axis = mat[:, col]
-      refid = int(m.sensor_refid[i])
-      if refid >= 0:
-        _, rmat = _obj_pos_mat(m, d, int(m.sensor_reftype[i]), refid)
-        axis = rmat.T @ axis
+    elif stype in _AXIS_COL:
+      _, mat = _obj_pos_mat(m, d, objtype, objid)
+      axis = mat[:, :, _AXIS_COL[stype]]
+      if has_ref:
+        _, rmat = _obj_pos_mat(m, d, reftype, refid)
+        axis = _rotate_into(rmat, axis)
       val = axis
     elif stype == SensorType.FRAMEQUAT:
-      objtype = ObjType(int(m.sensor_objtype[i]))
-      if objtype == ObjType.BODY:
-        quat = math.quat_mul(d.xquat[objid], m.body_iquat[objid])
-      elif objtype == ObjType.XBODY:
-        quat = d.xquat[objid]
-      elif objtype == ObjType.GEOM:
-        quat = math.quat_mul(d.xquat[int(m.geom_bodyid[objid])], m.geom_quat[objid])
-      elif objtype == ObjType.SITE:
-        quat = math.quat_mul(d.xquat[int(m.site_bodyid[objid])], m.site_quat[objid])
-      elif objtype == ObjType.CAMERA:
-        quat = math.mat_to_quat(d.cam_xmat[objid])
-      else:
-        raise NotImplementedError(objtype)
-      refid = int(m.sensor_refid[i])
-      if refid >= 0:
-        reftype = ObjType(int(m.sensor_reftype[i]))
-        if reftype == ObjType.BODY:
-          rquat = math.quat_mul(d.xquat[refid], m.body_iquat[refid])
-        elif reftype == ObjType.XBODY:
-          rquat = d.xquat[refid]
-        elif reftype == ObjType.GEOM:
-          rquat = math.quat_mul(d.xquat[int(m.geom_bodyid[refid])], m.geom_quat[refid])
-        elif reftype == ObjType.SITE:
-          rquat = math.quat_mul(d.xquat[int(m.site_bodyid[refid])], m.site_quat[refid])
-        else:
-          rquat = math.mat_to_quat(d.cam_xmat[refid])
-        quat = math.quat_mul(math.quat_inv(rquat), quat)
+      quat = _frame_quat(m, d, objtype, objid)
+      if has_ref:
+        rquat = _frame_quat(m, d, reftype, refid)
+        quat = jax.vmap(math.quat_mul)(jax.vmap(math.quat_inv)(rquat), quat)
       val = quat
     elif stype == SensorType.SUBTREECOM:
       val = d.subtree_com[objid]
     elif stype == SensorType.CLOCK:
-      val = d.time
+      val = jnp.broadcast_to(d.time, (len(ids),))
     else:
       raise NotImplementedError(f"pos sensor {stype}")
 
-    val = _apply_cutoff(m, i, jnp.atleast_1d(val).reshape(-1))
-    sd = sd.at[adr : adr + dim].set(val.astype(sd.dtype))
+    sd = _write(m, sd, ids, dim, datatype, val)
   return d.replace(sensordata=sd)
 
 
@@ -209,53 +244,48 @@ def sensor_vel(m: Model, d: Data) -> Data:
     d = smooth.subtree_vel(m, d)
 
   sd = d.sensordata
-  for i in range(m.nsensor):
-    if int(m.sensor_needstage[i]) != _STAGE_VEL:
-      continue
-    stype = SensorType(int(m.sensor_type[i]))
-    objid = int(m.sensor_objid[i])
-    adr = int(m.sensor_adr[i])
-    dim = int(m.sensor_dim[i])
+  for key, ids in _groups(m, _STAGE_VEL):
+    stype, objtype, reftype, datatype, dim = key
+    stype = SensorType(stype)
+    objid = np.asarray(m.sensor_objid)[ids]
+    refid = np.asarray(m.sensor_refid)[ids]
+    has_ref = reftype != _NO_REF
 
     if stype == SensorType.VELOCIMETER:
-      val = _object_velocity(m, d, ObjType.SITE, objid, local=True)[3:]
+      val = _object_velocity(m, d, ObjType.SITE, objid, local=True)[:, 3:]
     elif stype == SensorType.GYRO:
-      val = _object_velocity(m, d, ObjType.SITE, objid, local=True)[:3]
+      val = _object_velocity(m, d, ObjType.SITE, objid, local=True)[:, :3]
     elif stype == SensorType.JOINTVEL:
-      val = d.qvel[int(m.jnt_dofadr[objid])]
+      val = d.qvel[np.asarray(m.jnt_dofadr)[objid]]
     elif stype == SensorType.TENDONVEL:
       val = d.ten_velocity[objid]
     elif stype == SensorType.ACTUATORVEL:
       val = d.actuator_velocity[objid]
     elif stype == SensorType.BALLANGVEL:
-      dadr = int(m.jnt_dofadr[objid])
-      val = d.qvel[dadr : dadr + 3]
+      dadr = np.asarray(m.jnt_dofadr)[objid]
+      val = d.qvel[dadr[:, None] + np.arange(3)]
     elif stype == SensorType.SUBTREELINVEL:
       val = d.subtree_linvel[objid]
     elif stype == SensorType.SUBTREEANGMOM:
       val = d.subtree_angmom[objid]
     elif stype in (SensorType.FRAMELINVEL, SensorType.FRAMEANGVEL):
-      objtype = int(m.sensor_objtype[i])
       vel = _object_velocity(m, d, objtype, objid, local=False)
-      refid = int(m.sensor_refid[i])
-      if refid >= 0:
-        reftype = int(m.sensor_reftype[i])
+      if has_ref:
         rvel = _object_velocity(m, d, reftype, refid, local=False)
         rpos, rmat = _obj_pos_mat(m, d, reftype, refid)
         pos, _ = _obj_pos_mat(m, d, objtype, objid)
         if stype == SensorType.FRAMELINVEL:
           # relative velocity seen from the (rotating) reference frame
-          rel = vel[3:] - rvel[3:] - jnp.cross(rvel[:3], pos - rpos)
-          val = rmat.T @ rel
+          rel = vel[:, 3:] - rvel[:, 3:] - jnp.cross(rvel[:, :3], pos - rpos)
+          val = _rotate_into(rmat, rel)
         else:
-          val = rmat.T @ (vel[:3] - rvel[:3])
+          val = _rotate_into(rmat, vel[:, :3] - rvel[:, :3])
       else:
-        val = vel[3:] if stype == SensorType.FRAMELINVEL else vel[:3]
+        val = vel[:, 3:] if stype == SensorType.FRAMELINVEL else vel[:, :3]
     else:
       raise NotImplementedError(f"vel sensor {stype}")
 
-    val = _apply_cutoff(m, i, jnp.atleast_1d(val).reshape(-1))
-    sd = sd.at[adr : adr + dim].set(val.astype(sd.dtype))
+    sd = _write(m, sd, ids, dim, datatype, val)
   return d.replace(sensordata=sd)
 
 
@@ -284,50 +314,59 @@ def sensor_acc(m: Model, d: Data) -> Data:
     d = smooth.rne_postconstraint(m, d)
 
   sd = d.sensordata
-  for i in range(m.nsensor):
-    if int(m.sensor_needstage[i]) != _STAGE_ACC:
-      continue
-    stype = SensorType(int(m.sensor_type[i]))
-    objid = int(m.sensor_objid[i])
-    adr = int(m.sensor_adr[i])
-    dim = int(m.sensor_dim[i])
+  for key, ids in _groups(m, _STAGE_ACC):
+    stype, objtype, reftype, datatype, dim = key
+    stype = SensorType(stype)
+    objid = np.asarray(m.sensor_objid)[ids]
 
     if stype == SensorType.ACCELEROMETER:
-      val = _object_acceleration(m, d, ObjType.SITE, objid, local=True)[3:]
+      val = _object_acceleration(m, d, ObjType.SITE, objid, local=True)[:, 3:]
     elif stype in (SensorType.FRAMELINACC, SensorType.FRAMEANGACC):
-      acc = _object_acceleration(m, d, int(m.sensor_objtype[i]), objid, local=False)
-      val = acc[3:] if stype == SensorType.FRAMELINACC else acc[:3]
+      acc = _object_acceleration(m, d, objtype, objid, local=False)
+      val = acc[:, 3:] if stype == SensorType.FRAMELINACC else acc[:, :3]
     elif stype in (SensorType.FORCE, SensorType.TORQUE):
-      b = int(m.site_bodyid[objid])
-      rc = d.subtree_com[int(m.body_rootid[b])]
+      b = np.asarray(m.site_bodyid)[objid]
+      rc = d.subtree_com[np.asarray(m.body_rootid)[b]]
       # interaction force of body with its parent, at the site frame
-      wrench = math.transform_force(
-          d.cfrc_int[b], d.site_xpos[objid] - rc, d.site_xmat[objid].T
+      wrench = jax.vmap(math.transform_force)(
+          d.cfrc_int[b],
+          d.site_xpos[objid] - rc,
+          d.site_xmat[objid].transpose(0, 2, 1),
       )
-      val = wrench[3:] if stype == SensorType.FORCE else wrench[:3]
+      val = wrench[:, 3:] if stype == SensorType.FORCE else wrench[:, :3]
     elif stype == SensorType.ACTUATORFRC:
       val = d.actuator_force[objid]
+    elif stype == SensorType.TENDONACTFRC:
+      # total actuator force applied to each tendon: sum of actuator_force
+      # over actuators with TENDON transmission targeting that tendon
+      trn = np.asarray(m.actuator_trntype) == int(TrnType.TENDON)
+      trnid = np.asarray(m.actuator_trnid)[:, 0]
+      mask = jnp.asarray(
+          (trn[None, :] & (trnid[None, :] == np.asarray(objid)[:, None]))
+          .astype(np.float64)
+      ).astype(sd.dtype)
+      val = mask @ d.actuator_force
     elif stype == SensorType.JOINTACTFRC:
-      val = d.qfrc_actuator[int(m.jnt_dofadr[objid])]
+      val = d.qfrc_actuator[np.asarray(m.jnt_dofadr)[objid]]
     elif stype == SensorType.TOUCH:
-      # sum of contact normal forces on the site's body (zone test: contact
+      # sum of contact normal forces on each site's body (zone test: contact
       # point inside the site volume is approximated by body membership)
       from mjtpu._src import collision_driver
 
-      b = int(m.site_bodyid[objid])
+      b = np.asarray(m.site_bodyid)[objid]
       ncon = collision_driver.ncon(m)
       if ncon == 0:
-        val = jnp.zeros((), dtype=sd.dtype)
+        val = jnp.zeros((len(ids),), dtype=sd.dtype)
       else:
         forces = support.contact_forces(m, d)[:, 0]
         bodyid = jnp.asarray(np.asarray(m.geom_bodyid))
         b1 = bodyid[d.contact.geom1]
         b2 = bodyid[d.contact.geom2]
-        mask = ((b1 == b) | (b2 == b)).astype(sd.dtype)
-        val = jnp.sum(mask * forces)
+        bk = jnp.asarray(b)[:, None]
+        mask = ((b1[None, :] == bk) | (b2[None, :] == bk)).astype(sd.dtype)
+        val = mask @ forces
     else:
       raise NotImplementedError(f"acc sensor {stype}")
 
-    val = _apply_cutoff(m, i, jnp.atleast_1d(val).reshape(-1))
-    sd = sd.at[adr : adr + dim].set(val.astype(sd.dtype))
+    sd = _write(m, sd, ids, dim, datatype, val)
   return d.replace(sensordata=sd)

@@ -241,6 +241,8 @@ class SensorType(enum.IntEnum):
   FRAMELINACC = mujoco.mjtSensor.mjSENS_FRAMELINACC
   FRAMEANGACC = mujoco.mjtSensor.mjSENS_FRAMEANGACC
   TOUCH = mujoco.mjtSensor.mjSENS_TOUCH
+  # version-gated: added in MuJoCo 3.1+; -3 sentinel never matches a model
+  TENDONACTFRC = getattr(mujoco.mjtSensor, "mjSENS_TENDONACTFRC", -3)
 
 
 class ObjType(enum.IntEnum):
