@@ -30,6 +30,7 @@ from mjtpu._src.types import (
     GainType,
     IntegratorType,
     JacobianType,
+    JointType,
     Model,
     NIMP,
     NREF,
@@ -220,6 +221,26 @@ def put_model(m: mujoco.MjModel, dtype=None, _full_compat: bool = False) -> Mode
   )
   fields["has_jnt_spring"] = bool(np.any(m.jnt_stiffness > 0))
   fields["has_tendon_spring"] = bool(np.any(m.tendon_stiffness > 0))
+
+  # bake the actuator moment matrix when it is model-constant: every
+  # transmission a scalar joint (slide/hinge), where the moment row is just
+  # gear[0] at the joint dof (reference device.py:588-629)
+  if m.nu:
+    trntype = np.array(m.actuator_trntype)
+    is_joint = np.isin(
+        trntype, (int(TrnType.JOINT), int(TrnType.JOINTINPARENT))
+    )
+    jid = np.array(m.actuator_trnid)[:, 0]
+    scalar = np.isin(
+        np.array(m.jnt_type)[jid],
+        (int(JointType.SLIDE), int(JointType.HINGE)),
+    )
+    if np.all(is_joint & scalar):
+      sm = np.zeros((m.nu, m.nv))
+      sm[np.arange(m.nu), np.array(m.jnt_dofadr)[jid]] = np.array(
+          m.actuator_gear
+      )[:, 0]
+      fields["actuator_static_moment"] = sm
 
   model = Model(**fields)
   # trigger unsupported-collision / condim checks up front

@@ -579,6 +579,22 @@ def transmission(m: Model, d: Data) -> Data:
   if not m.nu:
     return d
   dtype = d.qpos.dtype
+
+  if m.actuator_static_moment is not None:
+    # all-scalar-joint model (ant, humanoid, ...): the moment matrix was
+    # baked at put_model time as an XLA constant; only lengths are dynamic.
+    # NOTE: gear changes via m.replace(actuator_gear=...) must also pass
+    # actuator_static_moment=None (or re-run put_model) — the bake snapshots
+    # gear[:, 0] and would otherwise go stale.
+    jid = np.asarray(m.actuator_trnid)[:, 0]
+    qadr = np.asarray(m.jnt_qposadr)[jid]
+    dadr = np.asarray(m.jnt_dofadr)[jid]
+    g0 = m.actuator_static_moment[np.arange(m.nu), dadr]
+    return d.replace(
+        actuator_length=d.qpos[qadr] * jnp.asarray(g0, dtype=dtype),
+        actuator_moment=jnp.asarray(m.actuator_static_moment, dtype=dtype),
+    )
+
   length = jnp.zeros(m.nu, dtype=dtype)
   moment = jnp.zeros((m.nu, m.nv), dtype=dtype)
 

@@ -550,6 +550,11 @@ class Model:
   actuator_cranklength: jax.Array = None
   actuator_acc0: jax.Array = None
   actuator_lengthrange: jax.Array = None
+  # model-constant (nu, nv) moment matrix, baked at put_model time when every
+  # actuator is a scalar-joint transmission (reference device.py:588-629 —
+  # there the moment depends on Data only for tendon/site/ball/free); None
+  # when any transmission is Data-dependent.  Static numpy → an XLA constant.
+  actuator_static_moment: np.ndarray = static(None)
   # ---- sensors ----
   sensor_type: np.ndarray = static(None)
   sensor_datatype: np.ndarray = static(None)
