@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mjtpu._src import math, scan, support
+from mjtpu._src import math, scan, sparse, support
 from mjtpu._src.types import (
     CamLightType,
     Data,
@@ -386,13 +386,21 @@ def crb(m: Model, d: Data) -> Data:
 def factor_m(m: Model, d: Data, M: jax.Array | None = None) -> Data:
   """Mass matrix factorization (mj_factorM).
 
-  Single-tree models use one dense Cholesky; multi-tree scenes factor each
+  Three static paths, picked at trace time: multi-tree scenes factor each
   static mass block independently (`mass_blocks`) — identical results
   (off-block entries of a block-diagonal matrix contribute exact zeros to
-  the dense factorization) at a fraction of the flops."""
+  the dense factorization) at a fraction of the flops; big branchy
+  single-tree models take the levelwise sparse LDL (sparse.py — the
+  mj_factorM zero-fill-in schedule, work Σ depth² instead of nv³/3);
+  everything else is one dense Cholesky."""
   M = d.qM if M is None else M
   blocks = mass_blocks(m)
   if blocks is None:
+    s = sparse.structure(m)
+    if s is not None:
+      S = sparse.factor(s, M)
+      qLD = sparse.scatter_dense(s, S)
+      return d.replace(qLD=qLD, qLDiagInv=1.0 / jnp.diagonal(qLD))
     qLD = math.safe_cholesky(M)
   else:
     qLD = jnp.zeros_like(M)
@@ -407,6 +415,11 @@ def solve_m(m: Model, d: Data, x: jax.Array) -> jax.Array:
   """Solves qM y = x using the current factorization (mj_solveM)."""
   blocks = mass_blocks(m)
   if blocks is None:
+    s = sparse.structure(m)
+    if s is not None:
+      S = sparse.gather_compact(s, d.qLD)
+      sol = sparse.solve(s, S, x if x.ndim == 1 else x.T)
+      return sol if x.ndim == 1 else sol.T
     if x.ndim > 1:
       return math.cho_solve(d.qLD, x.T).T
     return math.cho_solve(d.qLD, x)
@@ -431,6 +444,9 @@ def factor_solve(
   blocks = mass_blocks(m)
   if blocks is None:
     if symmetric:
+      s = sparse.structure(m)
+      if s is not None:  # qM ± h·D keeps qM's chain pattern
+        return sparse.solve(s, sparse.factor(s, mat), rhs)
       from mjtpu.ops import fused
 
       return fused.chol_solve(mat, rhs)

@@ -169,6 +169,10 @@ def test_pile_blocked_equals_dense(monkeypatch):
   qpos[2::7] -= 0.25
   d0 = d0.replace(qpos=jnp.asarray(qpos))
 
+  # pin the B side to the plain dense Cholesky: with blocks off, the sparse
+  # LDL auto-gate would otherwise engage (a pile is a forest of depth-6
+  # chains) and this would compare blocked vs sparse instead
+  monkeypatch.setenv("MJTPU_SPARSE_LDL", "0")
   monkeypatch.setenv("MJTPU_MASS_BLOCKS", "1")
   step_blocked = jax.jit(lambda mm, dd: mjtpu.step(mm, dd))
   db = step_blocked(m, d0)  # trace with blocks on
