@@ -3,6 +3,16 @@ compile_s / warmup / steady-state throughput per model x batch).
 
     python benchmarks/bench_all.py --models humanoid ant halfcheetah \
         --batches 1024 4096 8192 --out bench_results.jsonl
+
+Head-to-head comparators (reference benchmarks/bench_mujoco_c.py and
+bench_mjx.py) run in the same harness so the README comparison table is
+regenerable from one command:
+
+    python benchmarks/bench_all.py --engines mjtpu mjc mjx
+
+`mjc` is sequential MuJoCo C at B=1 (the reference's CPU baseline row);
+`mjx` is jit(vmap(mjx.step)) at the same batches, and is skipped with a
+notice when mujoco.mjx is not installed in the image.
 """
 
 from __future__ import annotations
@@ -66,6 +76,72 @@ def bench_one(model_name: str, batch: int, nsteps: int, nwarm: int) -> dict:
   }
 
 
+def bench_mujoco_c(model_name: str, nsteps: int) -> dict:
+  """Sequential MuJoCo C at B=1 (reference benchmarks/bench_mujoco_c.py)."""
+  mjm = mujoco.MjModel.from_xml_path(str(ASSETS / f"{model_name}.xml"))
+  mjtpu.procedural_terrain(mjm)
+  mjd = mujoco.MjData(mjm)
+  for _ in range(100):  # warmup: settle + page in
+    mujoco.mj_step(mjm, mjd)
+  t0 = time.perf_counter()
+  for _ in range(nsteps):
+    mujoco.mj_step(mjm, mjd)
+  elapsed = time.perf_counter() - t0
+  return {
+      "engine": "mujoco_c",
+      "model": model_name,
+      "batch": 1,
+      "nsteps": nsteps,
+      "steps_per_sec": round(nsteps / elapsed, 1),
+      "device": "cpu-sequential",
+  }
+
+
+def bench_mjx(model_name: str, batch: int, nsteps: int, nwarm: int) -> dict:
+  """MJX jit(vmap(step)) head-to-head row (reference benchmarks/bench_mjx.py).
+  Returns a notice row when mujoco.mjx is not in the image."""
+  try:
+    from mujoco import mjx
+  except ImportError:
+    return {
+        "engine": "mjx",
+        "model": model_name,
+        "batch": batch,
+        "skipped": "mujoco.mjx not installed",
+    }
+  mjm = mujoco.MjModel.from_xml_path(str(ASSETS / f"{model_name}.xml"))
+  mjtpu.procedural_terrain(mjm)
+  mx = mjx.put_model(mjm)
+  dx = mjx.make_data(mx)
+  rng = np.random.default_rng(0)
+  qpos = jnp.asarray(
+      mjm.qpos0[None] + rng.uniform(-0.01, 0.01, (batch, mjm.nq)), jnp.float32
+  )
+  batch_d = jax.vmap(lambda q: dx.replace(qpos=q))(qpos)
+  step = jax.jit(jax.vmap(mjx.step, in_axes=(None, 0)))
+  t0 = time.perf_counter()
+  batch_d = step(mx, batch_d)
+  jax.block_until_ready(batch_d.qpos)
+  compile_s = time.perf_counter() - t0
+  for _ in range(nwarm):
+    batch_d = step(mx, batch_d)
+  jax.block_until_ready(batch_d.qpos)
+  t0 = time.perf_counter()
+  for _ in range(nsteps):
+    batch_d = step(mx, batch_d)
+  jax.block_until_ready(batch_d.qpos)
+  elapsed = time.perf_counter() - t0
+  return {
+      "engine": "mjx",
+      "model": model_name,
+      "batch": batch,
+      "nsteps": nsteps,
+      "compile_s": round(compile_s, 2),
+      "steps_per_sec": round(batch * nsteps / elapsed, 1),
+      "device": jax.devices()[0].device_kind,
+  }
+
+
 def main():
   ap = argparse.ArgumentParser()
   ap.add_argument("--models", nargs="+",
@@ -73,15 +149,26 @@ def main():
   ap.add_argument("--batches", nargs="+", type=int, default=[1024, 4096, 8192])
   ap.add_argument("--steps", type=int, default=500)
   ap.add_argument("--warmup", type=int, default=50)
+  ap.add_argument("--engines", nargs="+", default=["mjtpu"],
+                  choices=["mjtpu", "mjc", "mjx"])
   ap.add_argument("--out", default="")
   args = ap.parse_args()
 
   results = []
   for name in args.models:
-    for b in args.batches:
-      r = bench_one(name, b, args.steps, args.warmup)
+    if "mjc" in args.engines:
+      r = bench_mujoco_c(name, args.steps)
       results.append(r)
       print(json.dumps(r), flush=True)
+    for b in args.batches:
+      if "mjtpu" in args.engines:
+        r = dict(engine="mjtpu", **bench_one(name, b, args.steps, args.warmup))
+        results.append(r)
+        print(json.dumps(r), flush=True)
+      if "mjx" in args.engines:
+        r = bench_mjx(name, b, args.steps, args.warmup)
+        results.append(r)
+        print(json.dumps(r), flush=True)
   if args.out:
     with open(args.out, "a") as f:
       for r in results:
