@@ -8,6 +8,8 @@ convex-convex manifolds in DEEP corner penetration differ — SAT vs mj's
 analytic colliders — so configs here stay shallow.)
 """
 
+import pathlib
+
 import jax.numpy as jnp
 import mujoco
 import numpy as np
@@ -223,6 +225,104 @@ def test_body_pair_filtering():
   <contact><exclude body1="a" body2="b"/></contact></mujoco>"""
   m2 = mjtpu.put_model(mujoco.MjModel.from_xml_string(xml_excl))
   assert ncon(m2) == 0
+
+
+def test_filter_self_collision():
+  """Two overlapping geoms on ONE body never collide (reference
+  collision_driver_test.py BodyPairFilterTest.test_filter_self_collision)."""
+  xml = """<mujoco><worldbody><body><joint type="free"/>
+    <geom size="0.2"/><geom size="0.2"/></body></worldbody></mujoco>"""
+  from mjtpu._src.collision_driver import ncon
+
+  assert ncon(mjtpu.put_model(mujoco.MjModel.from_xml_string(xml))) == 0
+
+
+def test_filter_weld_merge():
+  """A jointless child body merges into its parent's weld (body_weldid), so
+  overlapping geoms across the two bodies are same-weld filtered — even
+  though they are distinct bodies."""
+  xml = """<mujoco><worldbody>
+    <body name="a"><joint type="free"/><geom size="0.2"/>
+      <body name="b" pos="0 0 0.1"><geom size="0.2"/></body>
+    </body></worldbody></mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  assert mjm.body_weldid[2] == mjm.body_weldid[1]  # b welded into a
+  from mjtpu._src.collision_driver import ncon
+
+  assert ncon(mjtpu.put_model(mjm)) == 0
+
+
+def test_filter_weld_parent():
+  """Parent filtering compares WELD parents: a -> b (jointless, welded to a)
+  -> c (hinge). c's weld-parent is a's weld, so the c-a geom pair is
+  parent-child filtered despite a being the grandparent body."""
+  xml = """<mujoco><worldbody>
+    <body name="a"><joint type="free"/><geom size="0.2"/>
+      <body name="b" pos="0 0 0.05">
+        <body name="c" pos="0 0 0.05"><joint type="hinge"/>
+          <geom size="0.2"/></body>
+      </body>
+    </body></worldbody></mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  from mjtpu._src.collision_driver import ncon
+
+  assert ncon(mjtpu.put_model(mjm)) == 0
+  mjd = mujoco.MjData(mjm)
+  mujoco.mj_forward(mjm, mjd)
+  assert mjd.ncon == 0  # C agrees
+
+
+_PARENT_CHILD = """<mujoco><worldbody>
+  <body><joint type="free"/><geom size="0.2"/>
+    <body pos="0 0 0.1"><joint type="hinge"/><geom size="0.2"/></body>
+  </body></worldbody></mujoco>"""
+
+
+def test_disable_filter_parent_child():
+  """mjDSBL_FILTERPARENT exposes the parent-child pair: exactly one
+  penetrating contact, matching C (reference
+  BodyPairFilterTest.test_disable_filter_parent_child)."""
+  mjm = mujoco.MjModel.from_xml_string(_PARENT_CHILD)
+  mjm.opt.disableflags |= mujoco.mjtDisableBit.mjDSBL_FILTERPARENT
+  from mjtpu._src.collision_driver import ncon
+
+  m = mjtpu.put_model(mjm)
+  assert ncon(m) == 1
+  d = mjtpu.fwd_position(m, mjtpu.make_data(m))
+  mjd = mujoco.MjData(mjm)
+  mujoco.mj_forward(mjm, mjd)
+  assert mjd.ncon == 1
+  active = np.asarray(d.contact.dist) < 0
+  assert int(active.sum()) == 1
+  np.testing.assert_allclose(
+      np.asarray(d.contact.dist)[active][0], mjd.contact.dist[0], atol=1e-8
+  )
+
+
+def test_ncon_ant_and_disable_contact():
+  """Static contact-slot accounting on the zoo ant (reference NconTest):
+  the candidate count is fixed at trace time, bounds the settled scene's
+  active contacts, and collapses to zero under mjDSBL_CONTACT."""
+  mjm = mujoco.MjModel.from_xml_path(
+      str(pathlib.Path(__file__).parent.parent / "mjtpu/zoo/assets/ant.xml")
+  )
+  from mjtpu._src.collision_driver import ncon
+
+  m = mjtpu.put_model(mjm)
+  assert ncon(m) == 25  # 8 leg pairs vs floor (4pts·4 + 1pt·4) + torso... pinned
+
+  # drop the ant onto the floor: active contacts must fit in the slots
+  mjd = mujoco.MjData(mjm)
+  mjd.qpos[2] = 0.0
+  mujoco.mj_forward(mjm, mjd)
+  assert 0 < mjd.ncon <= ncon(m)
+  d = mjtpu.fwd_position(
+      m, mjtpu.make_data(m).replace(qpos=jnp.asarray(np.array(mjd.qpos)))
+  )
+  assert int((np.asarray(d.contact.dist) < 0).sum()) <= ncon(m)
+
+  mjm.opt.disableflags |= mujoco.mjtDisableBit.mjDSBL_CONTACT
+  assert ncon(mjtpu.put_model(mjm)) == 0
 
 
 def test_pair_table_overrides():
