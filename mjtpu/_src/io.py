@@ -18,7 +18,7 @@ import mujoco
 import numpy as np
 
 from mjtpu._src import mesh as mesh_mod
-from mjtpu._src import support
+from mjtpu._src import support, tendon_wrap
 from mjtpu._src.types import (
     BiasType,
     ConeType,
@@ -62,10 +62,9 @@ def _validate(m: mujoco.MjModel) -> None:
   check_enum(m.actuator_gaintype, GainType, "actuator gain")
   check_enum(m.actuator_biastype, BiasType, "actuator bias")
   check_enum(m.sensor_type, SensorType, "sensor type")
-  # fixed (joint-wrap) tendons only — parity with reference (SURVEY.md §2.6)
-  check_enum(m.wrap_type, (WrapType.JOINT,), "tendon wrap type") if m.nwrap else None
-  if m.nwrap and set(int(w) for w in m.wrap_type) - {int(WrapType.JOINT)}:
-    raise NotImplementedError("only fixed (joint-wrap) tendons are supported")
+  # fixed (joint) and spatial (site/geom/pulley) tendons are both supported;
+  # spatial wrap geometry is the exact mju_wrap contract (tendon_wrap.py)
+  check_enum(m.wrap_type, WrapType, "tendon wrap type") if m.nwrap else None
   if m.nflex:
     raise NotImplementedError("flex objects are not supported")
   if m.opt.wind.any() and m.opt.density == 0 and m.opt.viscosity == 0:
@@ -325,6 +324,8 @@ def make_data(m: Model, dtype=None) -> Data:
       ten_length=zero(m.ntendon),
       ten_J=zero(m.ntendon, nv),
       ten_velocity=zero(m.ntendon),
+      ten_wrap_xpos=zero(tendon_wrap.n_wrap_geoms(m), 2, 3),
+      ten_wrap_active=jnp.zeros(tendon_wrap.n_wrap_geoms(m), dtype=bool),
       actuator_length=zero(m.nu),
       actuator_moment=zero(m.nu, nv),
       actuator_velocity=zero(m.nu),

@@ -30,6 +30,7 @@ from mjtpu._src.types import (
     JointType,
     Model,
     TrnType,
+    WrapType,
 )
 
 
@@ -550,25 +551,39 @@ def rne(m: Model, d: Data) -> Data:
 
 
 def tendon(m: Model, d: Data) -> Data:
-  """Fixed (joint-wrap) tendon lengths and Jacobians (mj_tendon).
+  """Tendon lengths and Jacobians (mj_tendon): fixed and spatial.
 
-  Spatial tendon wrapping is unsupported — parity with the reference
-  (smooth.py:470-497, SURVEY.md §2.6)."""
+  Fixed (joint-wrap) tendons are linear in qpos; spatial tendons walk their
+  site/geom/pulley chains with exact mju_wrap geometry (tendon_wrap.py).
+  The reference supports fixed tendons only (smooth.py:470-497)."""
   if not m.ntendon:
     return d
 
-  # static wrap indexing
-  wrap_jnt = np.asarray(m.wrap_objid)
-  coef = jnp.asarray(m.wrap_prm, dtype=d.qpos.dtype)
-  qadr = np.asarray(m.jnt_qposadr)[wrap_jnt]
-  dadr = np.asarray(m.jnt_dofadr)[wrap_jnt]
-  ten_id = np.concatenate(
-      [np.full(int(n), t) for t, n in enumerate(np.asarray(m.tendon_num))]
-  ) if m.nwrap else np.zeros(0, dtype=np.int64)
+  from mjtpu._src import tendon_wrap
 
-  ten_length = scan.segment_sum(coef * d.qpos[qadr], ten_id, m.ntendon)
+  wrap_types = np.asarray(m.wrap_type)
+  is_jnt = wrap_types == int(WrapType.JOINT)
+  ten_length = jnp.zeros(m.ntendon, dtype=d.qpos.dtype)
   ten_J = jnp.zeros((m.ntendon, m.nv), dtype=d.qpos.dtype)
-  ten_J = ten_J.at[ten_id, dadr].add(coef)
+
+  if np.any(is_jnt):
+    jsel = np.nonzero(is_jnt)[0]
+    wrap_jnt = np.asarray(m.wrap_objid)[jsel]
+    coef = jnp.asarray(np.asarray(m.wrap_prm)[jsel], dtype=d.qpos.dtype)
+    qadr = np.asarray(m.jnt_qposadr)[wrap_jnt]
+    dadr = np.asarray(m.jnt_dofadr)[wrap_jnt]
+    all_ten_id = np.concatenate(
+        [np.full(int(n), t) for t, n in enumerate(np.asarray(m.tendon_num))]
+    )
+    ten_id = all_ten_id[jsel]
+    ten_length = ten_length.at[ten_id].add(coef * d.qpos[qadr])
+    ten_J = ten_J.at[ten_id, dadr].add(coef)
+
+  if np.any(~is_jnt):
+    ten_length, ten_J, wxpos, wactive = tendon_wrap.spatial_tendon(
+        m, d, ten_length, ten_J)
+    d = d.replace(ten_wrap_xpos=wxpos, ten_wrap_active=wactive)
+
   return d.replace(ten_length=ten_length, ten_J=ten_J)
 
 

@@ -673,6 +673,10 @@ class Data:
   ten_length: jax.Array
   ten_J: jax.Array
   ten_velocity: jax.Array
+  # spatial tendon wrap points: one (2,3) world pair per sphere/cylinder
+  # wrap entry (tendon_wrap.build_program order), active = wrapped this step
+  ten_wrap_xpos: jax.Array
+  ten_wrap_active: jax.Array
   # actuation
   actuator_length: jax.Array
   actuator_moment: jax.Array
