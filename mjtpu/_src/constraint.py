@@ -322,6 +322,44 @@ def _eq_rows(m: Model, d: Data) -> list[_Rows]:
               frictionloss=jnp.zeros(1, dtype),
           )
       )
+    elif etype == EqType.TENDON:
+      # tendon length coupling: len1 - len1_0 = poly(len2 - len2_0)
+      # (mj_instantiateEquality's mjEQ_TENDON branch — the joint pattern
+      # over ten_length/ten_J instead of qpos/unit dof rows)
+      t1 = int(m.eq_obj1id[e])
+      t2 = int(m.eq_obj2id[e])
+      pos1 = d.ten_length[t1] - m.tendon_length0[t1]
+      if t2 > -1:
+        dif = d.ten_length[t2] - m.tendon_length0[t2]
+      else:
+        dif = jnp.zeros((), dtype)
+      pows = dif ** jnp.arange(5, dtype=dtype)
+      cpos = pos1 - jnp.dot(data[:5], pows)
+      deriv = jnp.dot(
+          data[1:5],
+          jnp.arange(1, 5, dtype=dtype) * (dif ** jnp.arange(4, dtype=dtype)),
+      )
+      j = d.ten_J[t1]
+      if t2 > -1:
+        j = j - deriv * d.ten_J[t2]
+      j = j[None] * active
+      invw = m.tendon_invweight0[t1]
+      if t2 > -1:
+        invw = invw + m.tendon_invweight0[t2]
+      rows.append(
+          _Rows(
+              J=j,
+              pos=cpos[None] * active,
+              pos_imp=jnp.abs(cpos)[None],
+              pos_out=cpos[None] * active,
+              bias=jnp.zeros(1, dtype),
+              margin=jnp.zeros(1, dtype),
+              invweight=invw[None],
+              solref=solref,
+              solimp=solimp,
+              frictionloss=jnp.zeros(1, dtype),
+          )
+      )
     else:
       raise NotImplementedError(etype)
   return rows

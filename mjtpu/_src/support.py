@@ -43,6 +43,7 @@ def count_constraints(m: Model) -> tuple[int, int, int, int]:
         3 * (eq == EqType.CONNECT).sum()
         + 6 * (eq == EqType.WELD).sum()
         + 1 * (eq == EqType.JOINT).sum()
+        + 1 * (eq == EqType.TENDON).sum()
     )
 
   if m.opt.disableflags & DisableBit.FRICTIONLOSS:

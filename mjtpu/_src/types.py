@@ -132,11 +132,12 @@ class SolverType(enum.IntEnum):
 
 
 class EqType(enum.IntEnum):
-  """Equality constraint types (mjtEq). Tendon/flex/distance unsupported."""
+  """Equality constraint types (mjtEq). Flex/distance unsupported."""
 
   CONNECT = mujoco.mjtEq.mjEQ_CONNECT
   WELD = mujoco.mjtEq.mjEQ_WELD
   JOINT = mujoco.mjtEq.mjEQ_JOINT
+  TENDON = mujoco.mjtEq.mjEQ_TENDON
 
 
 class WrapType(enum.IntEnum):

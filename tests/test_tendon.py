@@ -301,3 +301,59 @@ def test_fixed_tendon_regression():
   np.testing.assert_allclose(
       np.asarray(d.ten_J), np.asarray(mjd.ten_J).reshape(mjm.ntendon, -1),
       atol=1e-12)
+
+
+_EQ_XML = """
+<mujoco>
+  <option timestep="0.004"/>
+  <worldbody>
+    <body name="a" pos="0 0 0.5"><joint name="j0" type="hinge" axis="0 1 0"/>
+      <geom type="capsule" size="0.03" fromto="0 0 0 0.4 0 0" mass="1"/>
+      <site name="s0" pos="0.4 0 0"/></body>
+    <body name="b" pos="1 0 0.5"><joint name="j1" type="hinge" axis="0 1 0"/>
+      <geom type="capsule" size="0.03" fromto="0 0 0 0.3 0 0" mass="0.7"/>
+      <site name="s1" pos="0.3 0 0"/></body>
+    <geom name="wg" type="sphere" size="0.12" pos="0.5 0 0.2" contype="0"
+          conaffinity="0"/>
+    <site name="g0" pos="0 0 0"/><site name="g1" pos="1 0 0"/>
+  </worldbody>
+  <tendon>
+    <spatial name="ta"><site site="g0"/><geom geom="wg"/><site site="s0"/></spatial>
+    <spatial name="tb"><site site="g1"/><site site="s1"/></spatial>
+  </tendon>
+  <equality>EQ</equality>
+</mujoco>
+"""
+
+
+@pytest.mark.parametrize("eq", [
+    '<tendon tendon1="ta" tendon2="tb" polycoef="0.05 1.2 0.1 0 0"/>',
+    '<tendon tendon1="ta" polycoef="0.1 0 0 0 0"/>',
+])
+def test_tendon_equality(eq):
+  """EqType.TENDON rows: qacc and trajectory parity vs C."""
+  xml = _EQ_XML.replace("EQ", eq)
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  m = mjtpu.put_model(mjm, dtype=jnp.float64)
+  rng = np.random.default_rng(1)
+  fwd = jax.jit(mjtpu.forward)
+  for _ in range(15):
+    qpos = mjm.qpos0 + rng.uniform(-1, 1, mjm.nq)
+    qvel = rng.uniform(-2, 2, mjm.nv)
+    mjd.qpos[:] = qpos
+    mjd.qvel[:] = qvel
+    mujoco.mj_forward(mjm, mjd)
+    d = mjtpu.make_data(m).replace(qpos=jnp.asarray(qpos),
+                                   qvel=jnp.asarray(qvel))
+    d = fwd(m, d)
+    np.testing.assert_allclose(np.asarray(d.qacc), mjd.qacc, atol=1e-7)
+  mjd2 = mujoco.MjData(mjm)
+  mjd2.qvel[:] = [1.0, -0.5]
+  d = mjtpu.make_data(m).replace(qpos=jnp.asarray(np.array(mjd2.qpos)),
+                                 qvel=jnp.asarray(np.array(mjd2.qvel)))
+  step = jax.jit(mjtpu.step)
+  for _ in range(300):
+    mujoco.mj_step(mjm, mjd2)
+    d = step(m, d)
+  np.testing.assert_allclose(np.asarray(d.qpos), mjd2.qpos, atol=1e-9)
