@@ -1,7 +1,11 @@
-"""Analytic smooth-dynamics derivatives for implicit integration.
+"""Smooth-dynamics derivatives for implicit integration.
 
 Reference capability map: mujoco_torch/_src/derivative.py
 (deriv_smooth_vel: d(qfrc_actuator + qfrc_passive)/dqvel for ImplicitFast).
+Capability-plus: `rne=True` adds the RNE (Coriolis/centrifugal) velocity
+derivative for the full Implicit integrator (C mjd_smooth_vel) — computed
+with jacfwd over the com_vel+rne pipeline instead of C's hand-derived
+spatial-algebra recursion, which is exact and keeps the code one closure.
 """
 
 from __future__ import annotations
@@ -13,12 +17,13 @@ import numpy as np
 from mjtpu._src.types import BiasType, Data, DisableBit, DynType, GainType, Model
 
 
-def deriv_smooth_vel(m: Model, d: Data) -> jax.Array:
-  """(nv, nv) derivative of smooth forces w.r.t. qvel (mjd_smooth_vel subset).
+def deriv_smooth_vel(m: Model, d: Data, rne: bool = False) -> jax.Array:
+  """(nv, nv) derivative of smooth forces w.r.t. qvel (mjd_smooth_vel).
 
   Covers: affine actuator gain/bias velocity terms, joint damping, tendon
-  damping.  Fluid-model derivatives are unsupported (parity with reference
-  derivative.py:22-68)."""
+  damping, and (rne=True, the full Implicit integrator) the RNE bias-force
+  velocity derivative.  Fluid-model derivatives are unsupported (parity
+  with reference derivative.py:22-68)."""
   if m.opt.has_fluid_params:
     raise NotImplementedError(
         "implicitfast integration with fluid drag is not supported"
@@ -54,6 +59,21 @@ def deriv_smooth_vel(m: Model, d: Data) -> jax.Array:
       qderiv = qderiv - jnp.diag(m.dof_damping)
     if m.ntendon and m.has_tendon_damping:
       qderiv = qderiv - d.ten_J.T @ (m.tendon_damping[:, None] * d.ten_J)
+
+  # RNE velocity derivative (full Implicit only): qfrc_smooth includes
+  # -qfrc_bias, so qDeriv -= d(qfrc_bias)/dqvel.  The derivative is exactly
+  # chain-patterned (a dof's bias force depends only on ancestor/descendant
+  # velocities), so the mask below is a numerical no-op for it.
+  if rne:
+    from mjtpu._src import smooth
+
+    def bias_of(qvel):
+      dd = d.replace(qvel=qvel)
+      dd = smooth.com_vel(m, dd)
+      dd = smooth.rne(m, dd)
+      return dd.qfrc_bias
+
+    qderiv = qderiv - jax.jacfwd(bias_of)(d.qvel)
 
   # mj's qDeriv shares qM's kinematic-chain sparsity: cross terms between
   # non-ancestor dofs (tendon/actuator moments spanning trees or sibling

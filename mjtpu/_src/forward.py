@@ -419,10 +419,14 @@ def _integrate_pos_only(m: Model, d: Data, qpos0, qvel, dt) -> Data:
 
 @matmul_precision
 def implicit(m: Model, d: Data) -> Data:
-  """Implicit-in-velocity fast integrator (mj_implicit, ImplicitFast)."""
+  """Implicit-in-velocity integrators (mj_implicit: Implicit/ImplicitFast).
+
+  ImplicitFast drops the RNE (Coriolis) velocity derivative; the full
+  Implicit integrator includes it (capability-plus vs the reference)."""
   from mjtpu._src import derivative
 
-  qderiv = derivative.deriv_smooth_vel(m, d)
+  qderiv = derivative.deriv_smooth_vel(
+      m, d, rne=m.opt.integrator == IntegratorType.IMPLICIT)
   mh = d.qM - m.opt.timestep * qderiv
   qfrc = d.qfrc_smooth + d.qfrc_constraint
   qacc = smooth.factor_solve(m, mh, qfrc, symmetric=False)
@@ -437,7 +441,7 @@ def _single_step(m: Model, d: Data, fixed_iterations: bool) -> Data:
     return euler(m, d)
   if m.opt.integrator == IntegratorType.RK4:
     return rungekutta4(m, d)
-  if m.opt.integrator == IntegratorType.IMPLICITFAST:
+  if m.opt.integrator in (IntegratorType.IMPLICITFAST, IntegratorType.IMPLICIT):
     return implicit(m, d)
   raise NotImplementedError(m.opt.integrator)
 

@@ -88,10 +88,11 @@ class JointType(enum.IntEnum):
 
 
 class IntegratorType(enum.IntEnum):
-  """Integrator types (mjtIntegrator). Implicit (full) is unsupported."""
+  """Integrator types (mjtIntegrator)."""
 
   EULER = mujoco.mjtIntegrator.mjINT_EULER
   RK4 = mujoco.mjtIntegrator.mjINT_RK4
+  IMPLICIT = mujoco.mjtIntegrator.mjINT_IMPLICIT
   IMPLICITFAST = mujoco.mjtIntegrator.mjINT_IMPLICITFAST
 
 

@@ -18,6 +18,7 @@ SMOOTH_MODELS = [
     "ball_free.xml",
     "pendulum_rk4.xml",
     "pendulum_implicit.xml",
+    "implicit_full.xml",
     "friction_tendon.xml",
     "equality.xml",
     "weld.xml",
@@ -75,7 +76,8 @@ def test_trajectory(name):
 
 
 @pytest.mark.parametrize(
-    "name", ["cartpole.xml", "friction_tendon.xml", "muscle.xml"]
+    "name", ["cartpole.xml", "friction_tendon.xml", "muscle.xml",
+             "implicit_full.xml"]
 )
 def test_trajectory_ctrl(name):
   # muscle.xml exercises every actuator dyntype at once: muscle (FLV curves),
