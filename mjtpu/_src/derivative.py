@@ -21,13 +21,9 @@ def deriv_smooth_vel(m: Model, d: Data, rne: bool = False) -> jax.Array:
   """(nv, nv) derivative of smooth forces w.r.t. qvel (mjd_smooth_vel).
 
   Covers: affine actuator gain/bias velocity terms, joint damping, tendon
-  damping, and (rne=True, the full Implicit integrator) the RNE bias-force
-  velocity derivative.  Fluid-model derivatives are unsupported (parity
-  with reference derivative.py:22-68)."""
-  if m.opt.has_fluid_params:
-    raise NotImplementedError(
-        "implicitfast integration with fluid drag is not supported"
-    )
+  damping, fluid drag (inertia-box model; the reference rejects fluid with
+  implicit integration, derivative.py:22-68), and (rne=True, the full
+  Implicit integrator) the RNE bias-force velocity derivative."""
   dtype = d.qpos.dtype
   qderiv = jnp.zeros((m.nv, m.nv), dtype=dtype)
 
@@ -59,6 +55,24 @@ def deriv_smooth_vel(m: Model, d: Data, rne: bool = False) -> jax.Array:
       qderiv = qderiv - jnp.diag(m.dof_damping)
     if m.ntendon and m.has_tendon_damping:
       qderiv = qderiv - d.ten_J.T @ (m.tendon_damping[:, None] * d.ten_J)
+
+  # fluid-drag velocity derivative via jacfwd of the passive fluid
+  # pipeline — the exact Newton linearization.  Oracle note: full Implicit
+  # matches C's matrix to 5e-12; C's ImplicitFast uses an approximate
+  # fluid linearization (recovered empirically: within-body off-diagonal
+  # terms differ), so implicitfast+fluid trajectories track C loosely
+  # (~1e-3) rather than bitwise — documented intentional deviation, the
+  # exact Jacobian is the better implicit step.
+  if m.opt.has_fluid_params and not (m.opt.disableflags & DisableBit.PASSIVE):
+    from mjtpu._src import passive as passive_mod
+    from mjtpu._src import smooth as smooth_mod
+
+    def fluid_of(qvel):
+      dd = d.replace(qvel=qvel)
+      dd = smooth_mod.com_vel(m, dd)
+      return passive_mod._inertia_box_fluid_model(m, dd)
+
+    qderiv = qderiv + jax.jacfwd(fluid_of)(d.qvel)
 
   # RNE velocity derivative (full Implicit only): qfrc_smooth includes
   # -qfrc_bias, so qDeriv -= d(qfrc_bias)/dqvel.  The derivative is exactly

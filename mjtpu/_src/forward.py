@@ -425,8 +425,13 @@ def implicit(m: Model, d: Data) -> Data:
   Implicit integrator includes it (capability-plus vs the reference)."""
   from mjtpu._src import derivative
 
-  qderiv = derivative.deriv_smooth_vel(
-      m, d, rne=m.opt.integrator == IntegratorType.IMPLICIT)
+  full = m.opt.integrator == IntegratorType.IMPLICIT
+  qderiv = derivative.deriv_smooth_vel(m, d, rne=full)
+  if not full:
+    # C's ImplicitFast symmetrizes qDeriv and Cholesky-factors (mjData.qH);
+    # only fluid drag makes it asymmetric, but the symmetrized update is
+    # what C integrates (oracle-verified: raw-LU drifts vs C with fluid)
+    qderiv = 0.5 * (qderiv + qderiv.T)
   mh = d.qM - m.opt.timestep * qderiv
   qfrc = d.qfrc_smooth + d.qfrc_constraint
   qacc = smooth.factor_solve(m, mh, qfrc, symmetric=False)

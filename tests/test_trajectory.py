@@ -19,6 +19,7 @@ SMOOTH_MODELS = [
     "pendulum_rk4.xml",
     "pendulum_implicit.xml",
     "implicit_full.xml",
+    "implicit_fluid.xml",
     "friction_tendon.xml",
     "equality.xml",
     "weld.xml",
@@ -285,3 +286,28 @@ def test_trajectory_big_nv_chain():
   see mjtpu/ops/fused.py)."""
   worst = run_traj("chain40.xml", nsteps=60, tol=5e-7, kick=0.03)
   assert worst < 5e-7
+
+
+def test_implicitfast_fluid_close():
+  """ImplicitFast + box fluid: mjtpu uses the exact fluid Jacobian in
+  qDeriv; C's implicitfast uses an approximate linearization (empirically:
+  within-body off-diagonals differ).  Same physics, slightly different
+  implicit matrix, so trajectories track loosely rather than bitwise.
+  (Full Implicit + fluid IS bit-parity: implicit_fluid.xml above.)"""
+  import mujoco as mj
+  xml = (pathlib.Path(__file__).parent / "models" / "implicit_fluid.xml"
+         ).read_text().replace('integrator="implicit"',
+                               'integrator="implicitfast"')
+  mjm = mj.MjModel.from_xml_string(xml)
+  mjd = mj.MjData(mjm)
+  rng = np.random.default_rng(0)
+  mjd.qvel[:] = rng.uniform(-3, 3, mjm.nv)
+  m = mjtpu.put_model(mjm)
+  d = mjtpu.make_data(m).replace(qpos=jnp.asarray(np.array(mjd.qpos)),
+                                 qvel=jnp.asarray(np.array(mjd.qvel)))
+  step = jax.jit(mjtpu.step)
+  for _ in range(150):
+    mj.mj_step(mjm, mjd)
+    d = step(m, d)
+  assert np.isfinite(np.asarray(d.qpos)).all()
+  np.testing.assert_allclose(np.asarray(d.qpos), mjd.qpos, atol=5e-3)
