@@ -399,7 +399,9 @@ def factor_m(m: Model, d: Data, M: jax.Array | None = None) -> Data:
   if blocks is None:
     s = sparse.structure(m)
     if s is not None:
-      S = sparse.factor(s, M)
+      from mjtpu.ops import fused
+
+      S = fused.ldl_factor(s, M)  # Pallas batched kernel under vmap on TPU
       qLD = sparse.scatter_dense(s, S)
       return d.replace(qLD=qLD, qLDiagInv=1.0 / jnp.diagonal(qLD))
     qLD = math.safe_cholesky(M)
@@ -418,8 +420,10 @@ def solve_m(m: Model, d: Data, x: jax.Array) -> jax.Array:
   if blocks is None:
     s = sparse.structure(m)
     if s is not None:
+      from mjtpu.ops import fused
+
       S = sparse.gather_compact(s, d.qLD)
-      sol = sparse.solve(s, S, x if x.ndim == 1 else x.T)
+      sol = fused.ldl_solve(s, S, x if x.ndim == 1 else x.T)
       return sol if x.ndim == 1 else sol.T
     if x.ndim > 1:
       return math.cho_solve(d.qLD, x.T).T
@@ -445,11 +449,11 @@ def factor_solve(
   blocks = mass_blocks(m)
   if blocks is None:
     if symmetric:
-      s = sparse.structure(m)
-      if s is not None:  # qM ± h·D keeps qM's chain pattern
-        return sparse.solve(s, sparse.factor(s, mat), rhs)
       from mjtpu.ops import fused
 
+      s = sparse.structure(m)
+      if s is not None:  # qM ± h·D keeps qM's chain pattern
+        return fused.ldl_factor_solve(s, mat, rhs)
       return fused.chol_solve(mat, rhs)
     lu, piv = jax.scipy.linalg.lu_factor(mat)
     return jax.scipy.linalg.lu_solve((lu, piv), rhs)

@@ -59,11 +59,17 @@ def test_put_data_roundtrip():
 
 
 def test_validation_rejects():
-  xml = """<mujoco><option integrator="implicit"/><worldbody>
+  # PGS is the one solver mjtpu (like the reference, README.md:121-141)
+  # does not implement; implicit/implicitfast integrators ARE supported.
+  xml = """<mujoco><option solver="PGS"/><worldbody>
     <body><joint type="hinge"/><geom type="sphere" size="0.1"/></body>
   </worldbody></mujoco>"""
   with pytest.raises(NotImplementedError):
     mjtpu.put_model(mujoco.MjModel.from_xml_string(xml))
+  ok = """<mujoco><option integrator="implicit"/><worldbody>
+    <body><joint type="hinge"/><geom type="sphere" size="0.1"/></body>
+  </worldbody></mujoco>"""
+  mjtpu.put_model(mujoco.MjModel.from_xml_string(ok))
 
 
 def test_checkpoint_roundtrip(tmp_path):
