@@ -70,7 +70,7 @@ def deriv_smooth_vel(m: Model, d: Data, rne: bool = False) -> jax.Array:
     def fluid_of(qvel):
       dd = d.replace(qvel=qvel)
       dd = smooth_mod.com_vel(m, dd)
-      return passive_mod._inertia_box_fluid_model(m, dd)
+      return passive_mod._fluid(m, dd)  # box and/or per-geom ellipsoid
 
     qderiv = qderiv + jax.jacfwd(fluid_of)(d.qvel)
 

@@ -208,6 +208,7 @@ def put_model(m: mujoco.MjModel, dtype=None, _full_compat: bool = False) -> Mode
 
   # host copies used for derived static structure
   fields["geom_size_np"] = np.array(m.geom_size)
+  fields["geom_fluid_np"] = np.array(m.geom_fluid)
   fields["geom_rbound_np"] = np.array(m.geom_rbound)
   fields["friction_dofid"] = np.nonzero(m.dof_frictionloss > 0)[0]
   fields["friction_tenid"] = np.nonzero(m.tendon_frictionloss > 0)[0]

@@ -440,6 +440,7 @@ class Model:
   geom_solimp: jax.Array = None
   geom_size: jax.Array = None
   geom_size_np: np.ndarray = static(None)  # host copy: hull baking / grouping
+  geom_fluid_np: np.ndarray = static(None)  # host copy: ellipsoid-fluid gating
   geom_rbound: jax.Array = None
   geom_rbound_np: np.ndarray = static(None)  # host copy: hfield subgrid sizing
   geom_pos: jax.Array = None
