@@ -47,7 +47,12 @@ import numpy as np
 from mjtpu._src.types import MINVAL, Model
 
 _AUTO_RATIO = 0.5
-_AUTO_MIN_NV = 16
+# below ~32 dofs the batched dense Cholesky (one fused MXU kernel, batch in
+# lanes) beats the levelwise rounds even when the flop count says otherwise:
+# humanoid (nv=23, branchy, passes the flop ratio) measured 7.2-7.5M
+# env-steps/s sparse vs 8.5-10.5M dense at B=4096 in back-to-back A/B/B/A
+# on a v5e; the nv=66 branchy tree stays 1.88x in favor of sparse
+_AUTO_MIN_NV = 32
 
 
 class _Round(NamedTuple):
