@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import functools
 import itertools
+import os
 from typing import Callable, Iterator
 
 import jax
@@ -170,12 +171,40 @@ def max_contact_points(m: Model) -> int | None:
   return None
 
 
+def max_geom_pairs(m: Model) -> int | None:
+  """Static per-group broadphase cap from the <numeric name="max_geom_pairs">
+  custom field (same knob as MJX), or the MJTPU_MAX_GEOM_PAIRS env var
+  (trace-time read, like MJTPU_MASS_BLOCKS), or None (off — every candidate
+  pair is narrowphased, exact parity with MuJoCo C)."""
+  env = os.environ.get("MJTPU_MAX_GEOM_PAIRS", "")
+  if env:
+    return int(env)
+  target = b"max_geom_pairs"
+  for i in range(len(m.numeric_adr)):
+    adr = int(m.name_numericadr[i])
+    name = m.names[adr:].split(b"\x00", 1)[0]
+    if name == target:
+      return int(m.numeric_data[int(m.numeric_adr[i])])
+  return None
+
+
+def _group_npair(m: Model, key: tuple, pairs: list) -> int:
+  """Number of pairs actually narrowphased for a group: top-K by
+  bound-distance when the max_geom_pairs broadphase cap is set (hfield
+  groups are exempt — the field's bounding radius spans the whole terrain,
+  so a center-distance rank carries no information)."""
+  cap = max_geom_pairs(m)
+  if cap is None or key[0] == int(GeomType.HFIELD):
+    return len(pairs)
+  return max(1, min(len(pairs), cap))
+
+
 def _raw_ncon(m: Model) -> int:
   if m.opt.disableflags & DisableBit.CONTACT:
     return 0
   n = 0
   for key, pairs in candidate_groups(m).items():
-    n += _PAIR_NCON[key[:2]] * len(pairs)
+    n += _PAIR_NCON[key[:2]] * _group_npair(m, key, pairs)
   return n
 
 
@@ -205,7 +234,7 @@ def condim_counts(m: Model) -> dict[int, int]:
     return counts
   for key, pairs in candidate_groups(m).items():
     c = key[4]
-    counts[c] = counts.get(c, 0) + _PAIR_NCON[key[:2]] * len(pairs)
+    counts[c] = counts.get(c, 0) + _PAIR_NCON[key[:2]] * _group_npair(m, key, pairs)
   cap = max_contact_points(m)
   if cap is not None and len(counts) == 1:
     k = next(iter(counts))
@@ -218,7 +247,7 @@ def make_condim(m: Model) -> np.ndarray:
   dims = []
   if not (m.opt.disableflags & DisableBit.CONTACT):
     for key, pairs in candidate_groups(m).items():
-      dims += [key[4]] * (_PAIR_NCON[key[:2]] * len(pairs))
+      dims += [key[4]] * (_PAIR_NCON[key[:2]] * _group_npair(m, key, pairs))
   dims = np.array(dims, dtype=np.int32)
   n = ncon(m)
   return dims[:n]
@@ -391,8 +420,11 @@ def collision(m: Model, d: Data) -> Data:
   """
   from mjtpu._src import support
 
-  total = ncon(m)
-  if total == 0:
+  # slots the group loop below actually emits (post-broadphase, pre-cap);
+  # ncon(m) is the post-cap count — when they differ the top-k cap branch
+  # at the end compacts to the deepest ncon(m) contacts
+  total = _raw_ncon(m)
+  if ncon(m) == 0:
     return d.replace(contact=Contact.zero(dtype=d.qpos.dtype))
 
   ne, nf, nl, _ = support.count_constraints(m)
@@ -408,22 +440,49 @@ def collision(m: Model, d: Data) -> Data:
 
     i1 = np.array([p[0] for p in pairs])
     i2 = np.array([p[1] for p in pairs])
+    params = _contact_params(m, pairs)
+    npair = _group_npair(m, key, pairs)
+
+    if npair < len(pairs):
+      # broadphase compaction (max_geom_pairs): narrowphase only the K
+      # pairs with the smallest sphere-bound distance.  Constraint assembly
+      # gathers everything per-contact (geom ids included) so the compacted
+      # slots stay fully dynamic; the group's condim is uniform so efc
+      # addressing stays static.  Downstream sees at most K·ncon contacts —
+      # like MuJoCo's own broadphase this is exact whenever at most K pairs
+      # of the group are actually near contact.
+      rb = jnp.asarray(m.geom_rbound_np, dtype=d.qpos.dtype)
+      margin_all = params[0]
+      x1, x2 = d.geom_xpos[i1], d.geom_xpos[i2]
+      if key[0] == int(GeomType.PLANE):
+        # signed height of the object's bounding sphere above the plane
+        n_w = d.geom_xmat[i1][..., :, 2]
+        bound = jnp.einsum("ij,ij->i", n_w, x2 - x1) - rb[i2] - margin_all
+      else:
+        bound = (
+            jnp.linalg.norm(x2 - x1, axis=-1) - rb[i1] - rb[i2] - margin_all
+        )
+      _, sel = jax.lax.top_k(-bound, npair)
+      i1v, i2v = jnp.asarray(i1)[sel], jnp.asarray(i2)[sel]
+      params = tuple(p[sel] for p in params)
+    else:
+      i1v, i2v = i1, i2
 
     args = (
-        d.geom_xpos[i1], d.geom_xmat[i1], m.geom_size[i1],
-        d.geom_xpos[i2], d.geom_xmat[i2], m.geom_size[i2],
+        d.geom_xpos[i1v], d.geom_xmat[i1v], m.geom_size[i1v],
+        d.geom_xpos[i2v], d.geom_xmat[i2v], m.geom_size[i2v],
     )
-    if len(pairs) == 1:
+    if npair == 1:
       dist, pos, frame = fn(*(a[0] for a in args))
       dist, pos, frame = dist[None], pos[None], frame[None]
     else:
       dist, pos, frame = jax.vmap(fn)(*args)
-    # (npairs, n_per, ...) -> (npairs * n_per, ...)
+    # (npair, n_per, ...) -> (npair * n_per, ...)
     dists.append(dist.reshape(-1))
     poss.append(pos.reshape(-1, 3))
     frames.append(frame.reshape(-1, 3, 3))
 
-    margin, gap, friction, solref, solreffriction, solimp = _contact_params(m, pairs)
+    margin, gap, friction, solref, solreffriction, solimp = params
     rep = lambda x: jnp.repeat(x, n_per, axis=0)
     cmargin.append(rep(margin))
     cgap.append(rep(gap))
@@ -431,13 +490,13 @@ def collision(m: Model, d: Data) -> Data:
     csolref.append(rep(solref))
     csolreffriction.append(rep(solreffriction))
     csolimp.append(rep(solimp))
-    g1s.append(np.repeat(i1, n_per))
-    g2s.append(np.repeat(i2, n_per))
+    g1s.append(jnp.repeat(jnp.asarray(i1v, dtype=jnp.int32), n_per))
+    g2s.append(jnp.repeat(jnp.asarray(i2v, dtype=jnp.int32), n_per))
 
   margin = jnp.concatenate(cmargin)
   gap = jnp.concatenate(cgap)
-  geom1 = jnp.asarray(np.concatenate(g1s), dtype=jnp.int32)
-  geom2 = jnp.asarray(np.concatenate(g2s), dtype=jnp.int32)
+  geom1 = jnp.concatenate(g1s).astype(jnp.int32)
+  geom2 = jnp.concatenate(g2s).astype(jnp.int32)
 
   dist = jnp.concatenate(dists)
   contact = Contact(

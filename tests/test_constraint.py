@@ -194,7 +194,7 @@ def test_mixed_condim():
   xml = """<mujoco>
   <option cone="elliptic"/>
   <worldbody>
-    <geom type="plane" size="5 5 .1"/>
+    <geom type="plane" size="5 5 .1" condim="1"/>
     <body pos="0 0 0.08"><freejoint/>
       <geom type="sphere" size="0.1" condim="1"/></body>
     <body pos="0.5 0 0.08"><freejoint/>
@@ -231,11 +231,14 @@ def test_condim6_rolling_rows():
   Jacobians act on angular dofs (reference constraint_test.py:517-535)."""
   mjm = load_mj("condim6_elliptic.xml")
   mjd = mujoco.MjData(mjm)
+  mjd.qpos[2] = 0.095  # sphere (r=0.1) pressed into the floor
   mujoco.mj_forward(mjm, mjd)
   ncon = mjd.ncon
   assert ncon >= 1 and mjd.nefc == 6 * ncon
   m = mjtpu.put_model(mjm)
-  d = mjtpu.fwd_position(m, mjtpu.make_data(m))
+  d = mjtpu.make_data(m)
+  d = d.replace(qpos=jnp.asarray(np.array(mjd.qpos)))
+  d = mjtpu.fwd_position(m, d)
   _check_rows("condim6 rows", mjm, mjd, m, d)
   # rolling rows (last 2 of each contact) touch only angular dofs (3:6 of
   # the free joint) — structural property, same as C
