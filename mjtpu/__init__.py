@@ -46,8 +46,12 @@ from mjtpu._src.smooth import (
     com_pos,
     com_vel,
     crb,
+    energy_pos,
+    energy_vel,
     factor_m,
     kinematics,
+    kinetic_energy,
+    potential_energy,
     rne,
     rne_postconstraint,
     solve_m,
@@ -65,6 +69,7 @@ from mjtpu._src.support import (
     apply_ft,
     constraint_sizes,
     contact_forces,
+    geom_distance,
     count_constraints,
     is_sparse,
     jac,

@@ -452,7 +452,9 @@ def collision(m: Model, d: Data) -> Data:
       # like MuJoCo's own broadphase this is exact whenever at most K pairs
       # of the group are actually near contact.
       rb = jnp.asarray(m.geom_rbound_np, dtype=d.qpos.dtype)
-      margin_all = params[0]
+      # detection buffer is margin + gap (gap-band contacts must survive
+      # compaction: adhesion acts on them even though they emit no efc rows)
+      margin_all = params[0] + params[1]
       x1, x2 = d.geom_xpos[i1], d.geom_xpos[i2]
       if key[0] == int(GeomType.PLANE):
         # signed height of the object's bounding sphere above the plane
@@ -503,7 +505,13 @@ def collision(m: Model, d: Data) -> Data:
       dist=dist,
       pos=jnp.concatenate(poss),
       frame=jnp.concatenate(frames),
-      includemargin=margin - gap,
+      # MuJoCo >= 3.x gap semantics (oracle-probed on 3.10): gap is an
+      # ADDITIONAL DETECTION buffer beyond margin, not a force-exclusion
+      # zone inside it.  includemargin ("margin for force generation") is
+      # the mixed margin itself; a slot exists in C's d->contact (exclude
+      # 0 or 1) iff dist < margin + gap.
+      includemargin=margin,
+      margin=margin + gap,
       friction=jnp.concatenate(cfriction),
       solref=jnp.concatenate(csolref),
       solreffriction=jnp.concatenate(csolreffriction),
@@ -524,6 +532,7 @@ def collision(m: Model, d: Data) -> Data:
         pos=contact.pos[order],
         frame=contact.frame[order],
         includemargin=contact.includemargin[order],
+        margin=contact.margin[order],
         friction=contact.friction[order],
         solref=contact.solref[order],
         solreffriction=contact.solreffriction[order],

@@ -417,13 +417,31 @@ def _limit_rows(m: Model, d: Data) -> list[_Rows]:
     qadr, dadr = int(m.jnt_qposadr[j]), int(m.jnt_dofadr[j])
     margin = m.jnt_margin[j]
     if jtype in (JointType.SLIDE, JointType.HINGE):
+      # one row PER SIDE, lower then upper (C emits both when the range
+      # is narrower than 2*margin — oracle-probed; each row is gated on
+      # its own side's distance)
       dist_min = d.qpos[qadr] - m.jnt_range[j, 0]
       dist_max = m.jnt_range[j, 1] - d.qpos[qadr]
-      pos = jnp.minimum(dist_min, dist_max) - margin
-      side = jnp.where(dist_min < dist_max, 1.0, -1.0).astype(dtype)
+      pos = jnp.stack([dist_min, dist_max]) - margin
+      side = jnp.asarray([1.0, -1.0], dtype)
       active = (pos < 0).astype(dtype)
-      jrow = jnp.zeros((1, m.nv), dtype).at[0, dadr].set(side * active)
-    elif jtype == JointType.BALL:
+      jrow = jnp.zeros((2, m.nv), dtype).at[:, dadr].set(side * active)
+      rows.append(
+          _Rows(
+              J=jrow,
+              pos=pos,
+              pos_imp=pos,
+              pos_out=pos,
+              bias=jnp.zeros(2, dtype),
+              margin=jnp.full((2,), margin, dtype),
+              invweight=jnp.broadcast_to(m.dof_invweight0[dadr], (2,)),
+              solref=jnp.broadcast_to(m.jnt_solref[j], (2, m.jnt_solref.shape[1])),
+              solimp=jnp.broadcast_to(m.jnt_solimp[j], (2, m.jnt_solimp.shape[1])),
+              frictionloss=jnp.zeros(2, dtype),
+          )
+      )
+      continue
+    if jtype == JointType.BALL:
       axis, angle = math.normalize_with_norm(
           math.quat_to_vel(d.qpos[qadr : qadr + 4])
       )
@@ -458,20 +476,30 @@ def _limit_rows(m: Model, d: Data) -> list[_Rows]:
     dist_min = length - m.tendon_range[tens, 0]
     dist_max = m.tendon_range[tens, 1] - length
     pos = jnp.minimum(dist_min, dist_max) - margin
-    side = jnp.where(dist_min < dist_max, -1.0, 1.0).astype(dtype)
+    # +J pushes length up (lower limit active), -J down (upper active) —
+    # one row PER SIDE per tendon, lower then upper, interleaved in tendon
+    # order (C emits both when the range is narrower than 2*margin).
+    # +J pushes length up (lower limit active), -J down (upper active).
+    k = len(tens)
+    pos = jnp.stack([dist_min, dist_max], axis=1).reshape(2 * k) - jnp.repeat(
+        margin, 2
+    )
+    side = jnp.tile(jnp.asarray([1.0, -1.0], dtype), k)
     active = (pos < 0).astype(dtype)
+    ten_J2 = jnp.repeat(d.ten_J[tens], 2, axis=0)
+    rep2 = lambda x: jnp.repeat(x, 2, axis=0)
     rows.append(
         _Rows(
-            J=(side * active)[:, None] * d.ten_J[tens],
+            J=(side * active)[:, None] * ten_J2,
             pos=pos,
             pos_imp=pos,
             pos_out=pos,
-            bias=jnp.zeros(len(tens), dtype),
-            margin=margin,
-            invweight=m.tendon_invweight0[tens],
-            solref=m.tendon_solref_lim[tens],
-            solimp=m.tendon_solimp_lim[tens],
-            frictionloss=jnp.zeros(len(tens), dtype),
+            bias=jnp.zeros(2 * k, dtype),
+            margin=rep2(margin),
+            invweight=rep2(m.tendon_invweight0[tens]),
+            solref=rep2(m.tendon_solref_lim[tens]),
+            solimp=rep2(m.tendon_solimp_lim[tens]),
+            frictionloss=jnp.zeros(2 * k, dtype),
         )
     )
   return rows

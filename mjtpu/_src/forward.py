@@ -31,6 +31,7 @@ from mjtpu._src.types import (
     BiasType,
     Data,
     DisableBit,
+    EnableBit,
     DynType,
     GainType,
     IntegratorType,
@@ -66,6 +67,8 @@ def fwd_position(m: Model, d: Data) -> Data:
   d = collision_driver.collision(m, d)
   d = constraint.make_constraint(m, d)
   d = smooth.transmission(m, d)
+  if m.opt.enableflags & EnableBit.ENERGY:
+    d = smooth.energy_pos(m, d)
   return d
 
 
@@ -81,6 +84,8 @@ def fwd_velocity(m: Model, d: Data) -> Data:
   d = smooth.com_vel(m, d)
   d = passive_mod.passive(m, d)
   d = smooth.rne(m, d)
+  if m.opt.enableflags & EnableBit.ENERGY:
+    d = smooth.energy_vel(m, d)
   return d
 
 

@@ -148,6 +148,7 @@ def put_model(m: mujoco.MjModel, dtype=None, _full_compat: bool = False) -> Mode
       "tex_data",
       "site_bodyid", "site_type",
       "cam_mode", "cam_bodyid", "cam_targetbodyid", "cam_fovy",
+      "cam_resolution", "cam_sensorsize", "cam_intrinsic",
       "light_mode", "light_bodyid", "light_targetbodyid",
       "light_type", "light_castshadow",
       "mesh_vertadr", "mesh_vertnum", "mesh_faceadr", "mesh_facenum",
@@ -231,8 +232,11 @@ def put_model(m: mujoco.MjModel, dtype=None, _full_compat: bool = False) -> Mode
         trntype, (int(TrnType.JOINT), int(TrnType.JOINTINPARENT))
     )
     jid = np.array(m.actuator_trnid)[:, 0]
+    # trnid is a joint index only for joint transmissions; clip before the
+    # jnt_type gather so BODY/SITE ids (which can exceed njnt) don't fault
+    safe_jid = np.where(is_joint, jid, 0)
     scalar = np.isin(
-        np.array(m.jnt_type)[jid],
+        np.array(m.jnt_type)[safe_jid],
         (int(JointType.SLIDE), int(JointType.HINGE)),
     )
     if np.all(is_joint & scalar):
@@ -362,6 +366,7 @@ def make_data(m: Model, dtype=None) -> Data:
       cfrc_int=zero(nbody, 6),
       cfrc_ext=zero(nbody, 6),
       sensordata=zero(m.nsensordata),
+      energy=zero(2),
   )
 
 
@@ -415,7 +420,7 @@ def get_data_into(result, m: Model, d: Data) -> None:
       "qLDiagInv", "cvel", "cdof_dot", "qfrc_bias", "qfrc_passive",
       "subtree_linvel", "subtree_angmom", "qfrc_actuator", "qfrc_smooth",
       "qacc_smooth", "qfrc_constraint", "qfrc_inverse", "cacc", "cfrc_int",
-      "cfrc_ext", "sensordata", "mocap_pos", "mocap_quat",
+      "cfrc_ext", "sensordata", "energy", "mocap_pos", "mocap_quat",
   ):
     val = np.asarray(getattr(d, name), dtype=np.float64)
     target = getattr(result, name)
@@ -431,15 +436,17 @@ def get_data_into(result, m: Model, d: Data) -> None:
   if result.qM.shape == np.asarray(d.qM).shape:
     result.qM[...] = np.asarray(d.qM)
 
-  # contacts: write back active rows (dist < includemargin), reallocating
-  # mjData's contact/efc arrays (reference device.py:1119-1206)
+  # contacts: write back detected rows (dist < margin+gap, like C's
+  # d->contact; gap-band rows get exclude=1), reallocating mjData's
+  # contact/efc arrays (reference device.py:1119-1206)
   dist = np.asarray(d.contact.dist)
   im = np.asarray(d.contact.includemargin)
-  active = np.nonzero(dist < im)[0]
+  active = np.nonzero(dist < np.asarray(d.contact.margin))[0]
   try:
     mujoco._functions._realloc_con_efc(result, ncon=len(active), nefc=0)
     for k, i in enumerate(active):
       c = result.contact
+      c.exclude[k] = int(dist[i] >= im[i])
       c.dist[k] = dist[i]
       c.pos[k] = np.asarray(d.contact.pos)[i]
       c.frame[k] = np.asarray(d.contact.frame)[i].reshape(-1)

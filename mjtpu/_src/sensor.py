@@ -25,6 +25,7 @@ from mjtpu._src.types import (
     Data,
     DataType,
     DisableBit,
+    EnableBit,
     Model,
     ObjType,
     SensorType,
@@ -102,6 +103,65 @@ def _obj_bodyid(m: Model, objtype: int, ids: np.ndarray) -> np.ndarray:
   raise NotImplementedError(objtype)
 
 
+def _limit_efc_rows(m: Model, ids: np.ndarray, tendon: bool) -> np.ndarray:
+  """Static efc row indices (K, 2) of each joint's/tendon's limit rows,
+  -1 when the model emits none (unlimited object, or limits disabled).
+
+  Limit rows sit after the ne equality and nf friction rows, limited joints
+  in joint order then limited tendons (constraint._limit_rows layout):
+  scalar joints and tendons get TWO rows (lower then upper — C emits both
+  when the range is narrower than 2*margin), ball joints one (the second
+  slot repeats it).  Rows exist statically; C materializes each only when
+  its side's dist < margin, so readers also gate on efc_pos < 0."""
+  from mjtpu._src.types import JointType
+
+  ne, nf, nl, _ = support.count_constraints(m)
+  rows = np.full((len(ids), 2), -1)
+  if nl == 0:
+    return rows
+  limited_j = np.nonzero(np.asarray(m.jnt_limited))[0]
+  jt = np.asarray(m.jnt_type)
+  # per-joint starting row + row count in the static layout
+  start, starts, counts = ne + nf, {}, {}
+  for j in limited_j:
+    n = 1 if jt[j] == int(JointType.BALL) else 2
+    starts[j], counts[j] = start, n
+    start += n
+  if tendon:
+    for k, t in enumerate(np.nonzero(np.asarray(m.tendon_limited))[0]):
+      starts[t], counts[t] = start + 2 * k, 2
+    lookup = {
+        t: (starts[t], counts[t])
+        for t in np.nonzero(np.asarray(m.tendon_limited))[0]
+    }
+  else:
+    lookup = {j: (starts[j], counts[j]) for j in limited_j}
+  for k, i in enumerate(np.asarray(ids)):
+    if int(i) in lookup:
+      s, n = lookup[int(i)]
+      rows[k] = (s, s + n - 1)
+  return rows
+
+
+def _limit_read(m: Model, d: Data, ids, tendon: bool, field) -> jax.Array:
+  """C's limit sensors read the FIRST materialized efc row of the object
+  (rows exist in C only when that side's dist < margin): select the lower
+  row when active, else the upper, else 0.
+
+  mjtpu's efc_pos already stores dist - margin for limit rows (the value C
+  exposes as efc_pos - efc_margin), so no further margin adjustment here."""
+  rows = _limit_efc_rows(m, ids, tendon)
+  ok = rows[:, 0] >= 0
+  r_lo = np.where(ok, rows[:, 0], 0)
+  r_hi = np.where(ok, rows[:, 1], 0)
+  pos_lo, pos_hi = d.efc_pos[r_lo], d.efc_pos[r_hi]
+  lo_active = jnp.asarray(ok) & (pos_lo < 0)
+  hi_active = jnp.asarray(ok) & (pos_hi < 0)
+  r = jnp.where(lo_active, r_lo, r_hi)
+  pos = jnp.where(lo_active, pos_lo, pos_hi)
+  return jnp.where(lo_active | hi_active, field(r, pos), 0.0)
+
+
 def _rot(mat, local: bool, k: int, dtype):
   if local:
     return mat.transpose(0, 2, 1)
@@ -164,6 +224,7 @@ def sensor_pos(m: Model, d: Data) -> Data:
   if (m.opt.disableflags & DisableBit.SENSOR) or not m.nsensor:
     return d
   sd = d.sensordata
+  energy = d.energy
   for key, ids in _groups(m, _STAGE_POS):
     stype, objtype, reftype, datatype, dim = key
     stype = SensorType(stype)
@@ -220,11 +281,137 @@ def sensor_pos(m: Model, d: Data) -> Data:
       val = d.subtree_com[objid]
     elif stype == SensorType.CLOCK:
       val = jnp.broadcast_to(d.time, (len(ids),))
+    elif stype in (
+        SensorType.GEOMDIST, SensorType.GEOMNORMAL, SensorType.GEOMFROMTO
+    ):
+      # mj_geomDistance semantics: distmax = sensor cutoff; geom-or-body
+      # operands (body = min over its geoms' pairs); dist clamps at distmax
+      # with zero normal/fromto when nothing is below distmax
+      def expand(otype, i):
+        if ObjType(otype) == ObjType.GEOM:
+          return [int(i)]
+        adr, num = int(m.body_geomadr[i]), int(m.body_geomnum[i])
+        return list(range(adr, adr + num))
+
+      vals = []
+      for k, sidx in enumerate(ids):
+        distmax = m.sensor_cutoff[sidx].astype(sd.dtype)
+        dmin = distmax
+        ft = jnp.zeros(6, sd.dtype)
+        for ga in expand(objtype, objid[k]):
+          for gb in expand(reftype, refid[k]):
+            dk, ftk = support.geom_distance(m, d, ga, gb, distmax)
+            better = dk < dmin
+            ft = jnp.where(better, ftk, ft)
+            dmin = jnp.minimum(dmin, dk)
+        if stype == SensorType.GEOMDIST:
+          vals.append(dmin[None])
+        elif stype == SensorType.GEOMFROMTO:
+          vals.append(ft)
+        else:
+          n = ft[3:] - ft[:3]
+          norm = jnp.linalg.norm(n)
+          vals.append(
+              jnp.where(norm > 1e-15, n / jnp.maximum(norm, 1e-15), 0.0)
+          )
+      val = jnp.stack(vals)
+    elif stype == SensorType.INSIDESITE:
+      # 1.0 when the object's frame position lies inside the reference
+      # site's volume (site local-frame point-in-primitive test)
+      from mjtpu._src.types import GeomType
+
+      p, _ = _obj_pos_mat(m, d, objtype, objid)
+      sp, smat = d.site_xpos[refid], d.site_xmat[refid]
+      q = jnp.einsum("kij,ki->kj", smat, p - sp)  # R^T (p - t)
+      size = m.site_size[refid]
+      st = np.asarray(m.site_type)[refid]
+      inside = []
+      for k in range(len(ids)):
+        t, s, qq = int(st[k]), size[k], q[k]
+        if t == int(GeomType.SPHERE):
+          ins = jnp.sum(qq * qq) <= s[0] * s[0]
+        elif t == int(GeomType.CAPSULE):
+          z = jnp.clip(qq[2], -s[1], s[1])
+          dd = qq - jnp.array([0.0, 0.0, 1.0], qq.dtype) * z
+          ins = jnp.sum(dd * dd) <= s[0] * s[0]
+        elif t == int(GeomType.ELLIPSOID):
+          r = qq / jnp.asarray(s, qq.dtype)
+          ins = jnp.sum(r * r) <= 1.0
+        elif t == int(GeomType.CYLINDER):
+          ins = (jnp.abs(qq[2]) <= s[1]) & (
+              qq[0] * qq[0] + qq[1] * qq[1] <= s[0] * s[0]
+          )
+        else:  # BOX
+          ins = jnp.all(jnp.abs(qq) <= jnp.asarray(s, qq.dtype))
+        inside.append(ins)
+      val = jnp.stack(inside).astype(sd.dtype)
+    elif stype == SensorType.CAMPROJECTION:
+      # target site in camera pixel coordinates.  Oracle-probed: the
+      # principal point (cam_intrinsic[2:]) is ignored; focal comes from
+      # intrinsic/sensorsize when sensorsize is set, else from fovy.
+      cam = refid
+      res = np.asarray(m.cam_resolution)[cam].astype(np.float64)
+      ss = np.asarray(m.cam_sensorsize)[cam]
+      intr = np.asarray(m.cam_intrinsic)[cam]
+      fovy_f = 0.5 * res[:, 1] / np.tan(
+          np.deg2rad(np.asarray(m.cam_fovy)[cam]) / 2
+      )
+      has_ss = ss[:, 0] > 0
+      fx = np.where(
+          has_ss, intr[:, 0] / np.where(has_ss, ss[:, 0], 1.0) * res[:, 0],
+          fovy_f,
+      )
+      fy = np.where(
+          has_ss, intr[:, 1] / np.where(has_ss, ss[:, 1], 1.0) * res[:, 1],
+          fovy_f,
+      )
+      # p = R^T (site - cam): camera looks along -z
+      p = jnp.einsum(
+          "kij,ki->kj", d.cam_xmat[cam], d.site_xpos[objid] - d.cam_xpos[cam]
+      )
+      u = -p[:, 0] / p[:, 2] * fx + res[:, 0] / 2
+      v = p[:, 1] / p[:, 2] * fy + res[:, 1] / 2
+      val = jnp.stack([u, v], axis=-1)
+    elif stype in (SensorType.JOINTLIMITPOS, SensorType.TENDONLIMITPOS):
+      val = _limit_read(
+          m, d, objid, stype == SensorType.TENDONLIMITPOS,
+          lambda r, pos: pos,
+      )
+    elif stype == SensorType.E_POTENTIAL:
+      # like C, the sensor runs mj_energyPos and updates d.energy as a
+      # side effect even when EnableBit.ENERGY is off
+      from mjtpu._src import smooth
+
+      pe = smooth.potential_energy(m, d)
+      energy = energy.at[0].set(pe)
+      val = jnp.broadcast_to(pe, (len(ids),))
+    elif stype == SensorType.E_KINETIC:
+      # needstage is POS in C (qM and qvel are both available here).
+      # Oracle-probed lazy-eval semantics (d->flg_energyvel): with
+      # EnableBit.ENERGY set, mj_energyVel runs in fwd_velocity AFTER
+      # sensor_pos, so the sensor reports the PREVIOUS step's kinetic
+      # energy (fresh only on the very first call, when the flag is
+      # clear); without the enable flag the sensor computes it fresh and
+      # writes d.energy[1] itself.
+      from mjtpu._src import smooth
+
+      if m.opt.enableflags & EnableBit.ENERGY:
+        ke = smooth.kinetic_energy(m, d)
+        # energy[1] == 0.0 stands in for C's never-computed flag state
+        # (make_data zeros it); a stale KE of exactly 0.0 with nonzero
+        # current KE is the one unreproduced corner
+        val = jnp.broadcast_to(
+            jnp.where(d.energy[1] == 0.0, ke, d.energy[1]), (len(ids),)
+        )
+      else:
+        ke = smooth.kinetic_energy(m, d)
+        energy = energy.at[1].set(ke)
+        val = jnp.broadcast_to(ke, (len(ids),))
     else:
       raise NotImplementedError(f"pos sensor {stype}")
 
     sd = _write(m, sd, ids, dim, datatype, val)
-  return d.replace(sensordata=sd)
+  return d.replace(sensordata=sd, energy=energy)
 
 
 def sensor_vel(m: Model, d: Data) -> Data:
@@ -282,6 +469,11 @@ def sensor_vel(m: Model, d: Data) -> Data:
           val = _rotate_into(rmat, vel[:, :3] - rvel[:, :3])
       else:
         val = vel[:, 3:] if stype == SensorType.FRAMELINVEL else vel[:, :3]
+    elif stype in (SensorType.JOINTLIMITVEL, SensorType.TENDONLIMITVEL):
+      val = _limit_read(
+          m, d, objid, stype == SensorType.TENDONLIMITVEL,
+          lambda r, pos: d.efc_J[r] @ d.qvel,
+      )
     else:
       raise NotImplementedError(f"vel sensor {stype}")
 
@@ -348,6 +540,11 @@ def sensor_acc(m: Model, d: Data) -> Data:
       val = mask @ d.actuator_force
     elif stype == SensorType.JOINTACTFRC:
       val = d.qfrc_actuator[np.asarray(m.jnt_dofadr)[objid]]
+    elif stype in (SensorType.JOINTLIMITFRC, SensorType.TENDONLIMITFRC):
+      val = _limit_read(
+          m, d, objid, stype == SensorType.TENDONLIMITFRC,
+          lambda r, pos: d.efc_force[r],
+      )
     elif stype == SensorType.TOUCH:
       # sum of contact normal forces on each site's body (zone test: contact
       # point inside the site volume is approximated by body membership)

@@ -639,8 +639,11 @@ def transmission(m: Model, d: Data) -> Data:
 
   # --- joint transmission on scalar joints (the common case), batched ---
   is_joint = (trntype == TrnType.JOINT) | (trntype == TrnType.JOINTINPARENT)
+  # trnid is a joint index only for joint transmissions; clip before the
+  # jnt_type gather so BODY/SITE ids (which can exceed njnt) don't fault
   scalar_jnt = np.isin(
-      jnt_type[trnid[:, 0]], (int(JointType.SLIDE), int(JointType.HINGE))
+      jnt_type[np.where(is_joint, trnid[:, 0], 0)],
+      (int(JointType.SLIDE), int(JointType.HINGE)),
   )
   ids = np.nonzero(is_joint & scalar_jnt)[0]
   if len(ids):
@@ -717,6 +720,57 @@ def transmission(m: Model, d: Data) -> Data:
         djacp = (jacp - jacp2) @ frame
         djacr = (jacr - jacr2) @ frame
         moment = moment.at[u].set(djacp @ gear[:3] + djacr @ gear[3:])
+    elif ttype == TrnType.SLIDERCRANK:
+      # length = gear0 * (a.v - sqrt((a.v)^2 + rod^2 - v.v)) with a the
+      # slider site's z axis and v = crank_pos - slider_pos; moment is the
+      # analytic dL/dq (chain rule through both site Jacobians and the
+      # rotating slider axis).  Oracle-validated vs mj_transmission.
+      cid, sid = int(trnid[u, 0]), int(trnid[u, 1])
+      rod = m.actuator_cranklength[u]
+      axis = d.site_xmat[sid][:, 2]
+      vec = d.site_xpos[cid] - d.site_xpos[sid]
+      av = jnp.dot(axis, vec)
+      sdet = av * av + rod * rod - jnp.dot(vec, vec)
+      # rod shorter than the crank offset is a degenerate (unreachable)
+      # config; clamp like C's ok=0 branch rather than emit NaN
+      det = jnp.sqrt(jnp.maximum(sdet, math.MINVAL))
+      length = length.at[u].set(gear[0] * (av - det))
+      scale = 1.0 - av / det
+      dldv = scale * axis + vec / det
+      jacp_c, _ = support.jac(
+          m, d, d.site_xpos[cid], int(m.site_bodyid[cid])
+      )
+      jacp_s, jacr_s = support.jac(
+          m, d, d.site_xpos[sid], int(m.site_bodyid[sid])
+      )
+      mom = (jacp_c - jacp_s) @ dldv + jacr_s @ (
+          scale * jnp.cross(axis, vec)
+      )
+      moment = moment.at[u].set(gear[0] * mom)
+    elif ttype == TrnType.BODY:
+      # adhesion: length 0; moment = -mean of the normal-direction contact
+      # Jacobians over every DETECTED contact (dist < margin, i.e. existing
+      # in C's d->contact — gap-zone constraint-inactive contacts included;
+      # that is the documented margin+gap adhesion-at-a-distance use case)
+      # involving the body's geoms.  gear is ignored (oracle-verified).
+      from mjtpu._src import constraint as constraint_mod
+
+      bid = int(trnid[u, 0])
+      body_geoms = np.nonzero(np.asarray(m.geom_bodyid) == bid)[0]
+      ncon_slots = d.contact.dist.shape[0]
+      if len(body_geoms) and ncon_slots:
+        jt, _, _ = constraint_mod._contact_jacobians(m, d)
+        jn = jt[:, 0, :]  # (ncon, nv) normal rows (geom1 -> geom2)
+        bg = jnp.asarray(body_geoms)
+        involved = (d.contact.geom1[:, None] == bg[None, :]).any(axis=1) | (
+            d.contact.geom2[:, None] == bg[None, :]
+        ).any(axis=1)
+        detected = d.contact.dist < d.contact.margin
+        mask = (involved & detected).astype(dtype)
+        count = jnp.sum(mask)
+        row = -(mask[:, None] * jn).sum(axis=0) / jnp.maximum(count, 1.0)
+        moment = moment.at[u].set(row)
+      # length stays 0
     else:
       raise NotImplementedError(f"transmission {ttype}")
 
@@ -856,3 +910,79 @@ def subtree_vel(m: Model, d: Data) -> Data:
   angmom = l_sub + rxp_sub - jnp.cross(d.subtree_com, p_sub)
 
   return d.replace(subtree_linvel=linvel, subtree_angmom=angmom)
+
+
+# ---------------------------------------------------------------------------
+# energy — capability-plus: the reference has no energy computation at all.
+# C semantics oracle-probed: the gravity term is gated on DisableBit.GRAVITY
+# and the joint/tendon spring terms on DisableBit.SPRING; kinetic energy is
+# unconditional (mj_energyPos / mj_energyVel).
+# ---------------------------------------------------------------------------
+
+
+def potential_energy(m: Model, d: Data) -> jax.Array:
+  """Scalar potential energy: gravity + joint springs + tendon springs
+  (mj_energyPos)."""
+  dtype = d.qpos.dtype
+  e = jnp.zeros((), dtype=dtype)
+
+  if not (m.opt.disableflags & DisableBit.GRAVITY):
+    e = e - jnp.einsum("b,bi,i->", m.body_mass, d.xipos, m.opt.gravity)
+
+  spring_on = not (m.opt.disableflags & DisableBit.SPRING)
+  if m.has_jnt_spring and spring_on:
+    jt = np.asarray(m.jnt_type)
+    qadr = np.asarray(m.jnt_qposadr)
+    k = m.jnt_stiffness
+
+    scalar = np.nonzero(
+        (jt == int(JointType.SLIDE)) | (jt == int(JointType.HINGE))
+    )[0]
+    if len(scalar):
+      dif = d.qpos[qadr[scalar]] - m.qpos_spring[qadr[scalar]]
+      e = e + 0.5 * jnp.sum(k[scalar] * dif * dif)
+
+    def quat_term(adrs, kk):
+      q = d.qpos[adrs[:, None] + np.arange(4)]
+      qs = m.qpos_spring[adrs[:, None] + np.arange(4)]
+      dif = jax.vmap(math.quat_sub)(q, qs)
+      return 0.5 * jnp.sum(kk * jnp.sum(dif * dif, axis=1))
+
+    ball = np.nonzero(jt == int(JointType.BALL))[0]
+    if len(ball):
+      e = e + quat_term(qadr[ball], k[ball])
+
+    free = np.nonzero(jt == int(JointType.FREE))[0]
+    if len(free):
+      t = (
+          d.qpos[qadr[free][:, None] + np.arange(3)]
+          - m.qpos_spring[qadr[free][:, None] + np.arange(3)]
+      )
+      e = e + 0.5 * jnp.sum(k[free] * jnp.sum(t * t, axis=1))
+      e = e + quat_term(qadr[free] + 3, k[free])
+
+  if m.ntendon and m.has_tendon_spring and spring_on:
+    lower, upper = m.tendon_lengthspring[:, 0], m.tendon_lengthspring[:, 1]
+    disp = jnp.where(
+        d.ten_length > upper,
+        d.ten_length - upper,
+        jnp.where(d.ten_length < lower, d.ten_length - lower, 0.0),
+    )
+    e = e + 0.5 * jnp.sum(m.tendon_stiffness * disp * disp)
+
+  return e
+
+
+def kinetic_energy(m: Model, d: Data) -> jax.Array:
+  """Scalar kinetic energy 0.5 qvel' M qvel (mj_energyVel)."""
+  return 0.5 * jnp.dot(d.qvel, support.mul_m(m, d, d.qvel))
+
+
+def energy_pos(m: Model, d: Data) -> Data:
+  """Writes potential energy into d.energy[0] (mj_energyPos)."""
+  return d.replace(energy=d.energy.at[0].set(potential_energy(m, d)))
+
+
+def energy_vel(m: Model, d: Data) -> Data:
+  """Writes kinetic energy into d.energy[1] (mj_energyVel)."""
+  return d.replace(energy=d.energy.at[1].set(kinetic_energy(m, d)))

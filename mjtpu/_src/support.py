@@ -54,7 +54,21 @@ def count_constraints(m: Model) -> tuple[int, int, int, int]:
   if m.opt.disableflags & DisableBit.LIMIT:
     nl = 0
   else:
-    nl = int(np.asarray(m.jnt_limited).sum() + np.asarray(m.tendon_limited).sum())
+    # C materializes one row PER SIDE for scalar joints and tendons
+    # (lower then upper; both appear when the range is narrower than
+    # 2*margin) but a single row for ball joints, so the static
+    # allocation reserves 2 rows per limited slide/hinge and tendon
+    from mjtpu._src.types import JointType
+
+    jt = np.asarray(m.jnt_type)
+    lim = np.asarray(m.jnt_limited).astype(bool)
+    scalar = lim & np.isin(jt, (int(JointType.SLIDE), int(JointType.HINGE)))
+    ball = lim & (jt == int(JointType.BALL))
+    nl = int(
+        2 * scalar.sum()
+        + ball.sum()
+        + 2 * np.asarray(m.tendon_limited).sum()
+    )
 
   from mjtpu._src import collision_driver
 
@@ -346,3 +360,45 @@ def contact_force_com(m: Model, d: Data):
   rc2 = d.subtree_com[rootid[b2]]
   wrench = jax.vmap(to_com)(f_con, d.contact.frame, d.contact.pos, rc2)
   return wrench, b1, b2
+
+
+def geom_distance(m: Model, d: Data, g1: int, g2: int, distmax: float):
+  """Smallest signed distance between two geoms (mj_geomDistance).
+
+  Returns (dist, fromto): dist is the signed surface distance, clamped to
+  ``distmax`` when no separation below distmax is found (C semantics);
+  fromto is the (6,) segment between the nearest surface points (zeros when
+  nothing is found).  Dispatches through the same registered narrowphase
+  colliders as the collision driver; pairs outside the support table raise
+  NotImplementedError at trace time."""
+  from mjtpu._src import collision_driver
+
+  g1, g2 = int(g1), int(g2)
+  t1, t2 = int(m.geom_type[g1]), int(m.geom_type[g2])
+  swap = t1 > t2
+  if swap:
+    g1, g2, t1, t2 = g2, g1, t2, t1
+  if not collision_driver.has_collision_fn(t1, t2):
+    raise NotImplementedError(
+        f"geom_distance between {t1} and {t2} is not supported"
+    )
+  key = (
+      t1, t2,
+      collision_driver._shape_key(m, g1),
+      collision_driver._shape_key(m, g2),
+      3,
+  )
+  fn = collision_driver._collision_fn(m, key, [(g1, g2, -1)])
+  dist, pos, frame = fn(
+      d.geom_xpos[g1], d.geom_xmat[g1], m.geom_size[g1],
+      d.geom_xpos[g2], d.geom_xmat[g2], m.geom_size[g2],
+  )
+  i = jnp.argmin(dist)
+  dmin, p, n = dist[i], pos[i], frame[i, 0]
+  if swap:
+    n = -n  # frame normal points swapped-g1 -> swapped-g2; restore caller order
+  found = dmin < distmax
+  frm = p - 0.5 * dmin * n
+  to = p + 0.5 * dmin * n
+  fromto = jnp.where(found, jnp.concatenate([frm, to]), 0.0)
+  return jnp.where(found, dmin, jnp.asarray(distmax, dmin.dtype)), fromto

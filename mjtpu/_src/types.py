@@ -156,8 +156,10 @@ class TrnType(enum.IntEnum):
 
   JOINT = mujoco.mjtTrn.mjTRN_JOINT
   JOINTINPARENT = mujoco.mjtTrn.mjTRN_JOINTINPARENT
+  SLIDERCRANK = mujoco.mjtTrn.mjTRN_SLIDERCRANK
   SITE = mujoco.mjtTrn.mjTRN_SITE
   TENDON = mujoco.mjtTrn.mjTRN_TENDON
+  BODY = mujoco.mjtTrn.mjTRN_BODY  # adhesion
 
 
 class DynType(enum.IntEnum):
@@ -243,6 +245,19 @@ class SensorType(enum.IntEnum):
   FRAMELINACC = mujoco.mjtSensor.mjSENS_FRAMELINACC
   FRAMEANGACC = mujoco.mjtSensor.mjSENS_FRAMEANGACC
   TOUCH = mujoco.mjtSensor.mjSENS_TOUCH
+  E_POTENTIAL = mujoco.mjtSensor.mjSENS_E_POTENTIAL
+  E_KINETIC = mujoco.mjtSensor.mjSENS_E_KINETIC
+  CAMPROJECTION = mujoco.mjtSensor.mjSENS_CAMPROJECTION
+  INSIDESITE = mujoco.mjtSensor.mjSENS_INSIDESITE
+  GEOMDIST = mujoco.mjtSensor.mjSENS_GEOMDIST
+  GEOMNORMAL = mujoco.mjtSensor.mjSENS_GEOMNORMAL
+  GEOMFROMTO = mujoco.mjtSensor.mjSENS_GEOMFROMTO
+  JOINTLIMITPOS = mujoco.mjtSensor.mjSENS_JOINTLIMITPOS
+  JOINTLIMITVEL = mujoco.mjtSensor.mjSENS_JOINTLIMITVEL
+  JOINTLIMITFRC = mujoco.mjtSensor.mjSENS_JOINTLIMITFRC
+  TENDONLIMITPOS = mujoco.mjtSensor.mjSENS_TENDONLIMITPOS
+  TENDONLIMITVEL = mujoco.mjtSensor.mjSENS_TENDONLIMITVEL
+  TENDONLIMITFRC = mujoco.mjtSensor.mjSENS_TENDONLIMITFRC
   # version-gated: added in MuJoCo 3.1+; -3 sentinel never matches a model
   TENDONACTFRC = getattr(mujoco.mjtSensor, "mjSENS_TENDONACTFRC", -3)
 
@@ -466,6 +481,9 @@ class Model:
   cam_pos0: jax.Array = None
   cam_mat0: jax.Array = None
   cam_fovy: np.ndarray = static(None)
+  cam_resolution: np.ndarray = static(None)
+  cam_sensorsize: np.ndarray = static(None)
+  cam_intrinsic: np.ndarray = static(None)
   light_mode: np.ndarray = static(None)
   light_bodyid: np.ndarray = static(None)
   light_targetbodyid: np.ndarray = static(None)
@@ -594,6 +612,11 @@ class Contact:
   pos: jax.Array           # (ncon, 3)
   frame: jax.Array         # (ncon, 3, 3) rows: normal, tangent1, tangent2
   includemargin: jax.Array  # (ncon,)
+  # detection margin (mixed margin + gap; oracle-probed 3.10 semantics —
+  # gap EXTENDS detection beyond margin): a slot "exists" in C's d->contact
+  # iff dist < margin.  Adhesion (TrnType.BODY) needs this: it also acts on
+  # gap-band contacts (C exclude==1) that emit no efc rows.
+  margin: jax.Array        # (ncon,)
   friction: jax.Array      # (ncon, 5)
   solref: jax.Array        # (ncon, NREF)
   solreffriction: jax.Array  # (ncon, NREF)
@@ -614,6 +637,7 @@ class Contact:
         pos=jnp.zeros((ncon, 3), dtype),
         frame=jnp.zeros((ncon, 3, 3), dtype),
         includemargin=jnp.zeros(ncon, dtype),
+        margin=jnp.zeros(ncon, dtype),
         friction=jnp.zeros((ncon, 5), dtype),
         solref=jnp.zeros((ncon, NREF), dtype),
         solreffriction=jnp.zeros((ncon, NREF), dtype),
@@ -722,3 +746,6 @@ class Data:
   cfrc_ext: jax.Array
   # sensors
   sensordata: jax.Array
+  # diagnostics: [potential, kinetic], filled when EnableBit.ENERGY is set
+  # or an E_POTENTIAL/E_KINETIC sensor runs (mj_energyPos/mj_energyVel)
+  energy: jax.Array

@@ -240,3 +240,76 @@ def test_hfield_trajectory():
         np.abs(np.asarray(d.qvel) - mjd.qvel).max(),
     )
     assert err < 1e-6, f"hfield diverged at {i}: {err:.3e}"
+
+
+def test_camprojection():
+  """CAMPROJECTION parity: fovy and intrinsic (sensorsize/focal) cameras.
+  Oracle-probed: C ignores the principal point."""
+  xml = """<mujoco>
+  <worldbody>
+    <body pos="0 0 1">
+      <joint type="hinge" axis="0 1 0"/>
+      <geom type="capsule" size="0.03" fromto="0 0 0 0.3 0 0"/>
+      <site name="tip" pos="0.3 0 0.1"/>
+    </body>
+    <camera name="fovycam" pos="1 -1.5 1.2" xyaxes="1 0.5 0 0 0.3 1"
+            resolution="640 480" fovy="50"/>
+    <camera name="intrcam" pos="-0.5 -1.5 1.0" xyaxes="1 0 0 0 0.3 1"
+            resolution="320 240" sensorsize="0.036 0.024"
+            focal="0.05 0.05" principal="0.001 -0.002"/>
+  </worldbody>
+  <sensor>
+    <camprojection site="tip" camera="fovycam"/>
+    <camprojection site="tip" camera="intrcam"/>
+  </sensor>
+  </mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  mjd.qpos[0] = 0.3
+  mujoco.mj_forward(mjm, mjd)
+  m = mjtpu.put_model(mjm)
+  d = mjtpu.make_data(m).replace(qpos=jnp.asarray(np.array(mjd.qpos)))
+  d = jax.jit(mjtpu.forward)(m, d)
+  np.testing.assert_allclose(
+      np.asarray(d.sensordata), mjd.sensordata, atol=1e-6
+  )
+
+
+def test_insidesite():
+  """INSIDESITE parity across all site volume types (pos stage)."""
+  xml = """<mujoco>
+  <worldbody>
+    <site name="z1" type="box" pos="0 0 1" size="0.2 0.3 0.4" euler="10 20 0"/>
+    <site name="z2" type="cylinder" pos="1 0 1" size="0.2 0.3 0" euler="0 30 0"/>
+    <site name="z3" type="ellipsoid" pos="2 0 1" size="0.2 0.3 0.4"/>
+    <site name="z4" type="capsule" pos="3 0 1" size="0.2 0.3 0"/>
+    <site name="z5" type="sphere" pos="4 0 1" size="0.25"/>
+    <body pos="0 0 1.2"><freejoint/><geom type="sphere" size="0.05"/>
+      <site name="pt"/></body>
+  </worldbody>
+  <sensor>
+    <insidesite site="z1" objtype="site" objname="pt"/>
+    <insidesite site="z2" objtype="site" objname="pt"/>
+    <insidesite site="z3" objtype="site" objname="pt"/>
+    <insidesite site="z4" objtype="site" objname="pt"/>
+    <insidesite site="z5" objtype="site" objname="pt"/>
+  </sensor>
+  </mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  m = mjtpu.put_model(mjm)
+  fwd = jax.jit(mjtpu.forward)
+  hits = 0
+  for pos in (
+      [0, 0, 1.2], [0.05, 0.1, 1.35], [1.1, 0, 1.1], [2.1, 0, 1.15],
+      [3, 0.05, 1.45], [3, 0, 1.55], [4.1, 0.1, 1.1], [4.2, 0.2, 1.2],
+  ):
+    mjd.qpos[0:3] = pos
+    mujoco.mj_forward(mjm, mjd)
+    d = mjtpu.make_data(m).replace(qpos=jnp.asarray(np.array(mjd.qpos)))
+    d = fwd(m, d)
+    np.testing.assert_allclose(
+        np.asarray(d.sensordata), mjd.sensordata, atol=0, err_msg=str(pos)
+    )
+    hits += mjd.sensordata.sum()
+  assert hits >= 5
