@@ -205,6 +205,9 @@ def put_model(m: mujoco.MjModel, dtype=None, _full_compat: bool = False) -> Mode
   fields["tendon_armature"] = f(
       getattr(m, "tendon_armature", np.zeros(m.ntendon))
   )
+  fields["sensor_intprm"] = i(
+      getattr(m, "sensor_intprm", np.zeros((m.nsensor, 3), np.int32))
+  )
   fields["names"] = m.names
 
   # host copies used for derived static structure

@@ -162,6 +162,64 @@ def _limit_read(m: Model, d: Data, ids, tendon: bool, field) -> jax.Array:
   return jnp.where(lo_active | hi_active, field(r, pos), 0.0)
 
 
+def _subtree_bodies(m: Model, root: int) -> np.ndarray:
+  """Static (nbody,) bool mask of the kinematic subtree rooted at `root`."""
+  parent = np.asarray(m.body_parentid)
+  mask = np.zeros(parent.shape[0], bool)
+  for b in range(parent.shape[0]):
+    i = b
+    while True:
+      if i == root:
+        mask[b] = True
+        break
+      if i == 0:
+        break
+      i = int(parent[i])
+  mask[root] = True
+  return mask
+
+
+def _points_in_site(m: Model, d: Data, site: int, p: jax.Array) -> jax.Array:
+  """(N,) bool: which world points lie inside the site's volume (the
+  INSIDESITE / contact-sensor `site` zone test)."""
+  from mjtpu._src.types import GeomType
+
+  q = (p - d.site_xpos[site]) @ d.site_xmat[site]  # R^T (p - t), batched
+  s = m.site_size[site]
+  t = int(np.asarray(m.site_type)[site])
+  if t == int(GeomType.SPHERE):
+    return jnp.sum(q * q, axis=-1) <= s[0] * s[0]
+  if t == int(GeomType.CAPSULE):
+    z = jnp.clip(q[..., 2], -s[1], s[1])
+    dd = q - jnp.array([0.0, 0.0, 1.0], q.dtype) * z[..., None]
+    return jnp.sum(dd * dd, axis=-1) <= s[0] * s[0]
+  if t == int(GeomType.ELLIPSOID):
+    r = q / jnp.asarray(s, q.dtype)
+    return jnp.sum(r * r, axis=-1) <= 1.0
+  if t == int(GeomType.CYLINDER):
+    return (jnp.abs(q[..., 2]) <= s[1]) & (
+        q[..., 0] ** 2 + q[..., 1] ** 2 <= s[0] * s[0]
+    )
+  # BOX
+  return jnp.all(jnp.abs(q) <= jnp.asarray(s, q.dtype), axis=-1)
+
+
+# CONTACT sensor dataspec bits, in slot order (oracle-probed: the compiler
+# packs m.sensor_intprm = [dataspec, reduce, num])
+_CONTACT_FIELDS = (
+    (1, "found", 1),
+    (2, "force", 3),
+    (4, "torque", 3),
+    (8, "dist", 1),
+    (16, "pos", 3),
+    (32, "normal", 3),
+    (64, "tangent", 3),
+)
+_CONTACT_REDUCE_NONE, _CONTACT_MINDIST, _CONTACT_MAXFORCE, _CONTACT_NETFORCE = (
+    0, 1, 2, 3,
+)
+
+
 def _rot(mat, local: bool, k: int, dtype):
   if local:
     return mat.transpose(0, 2, 1)
@@ -562,8 +620,163 @@ def sensor_acc(m: Model, d: Data) -> Data:
         bk = jnp.asarray(b)[:, None]
         mask = ((b1[None, :] == bk) | (b2[None, :] == bk)).astype(sd.dtype)
         val = mask @ forces
+    elif stype == SensorType.CONTACT:
+      sd = _contact_sensor(m, d, sd, ids)
+      continue  # writes directly: C applies NO cutoff to CONTACT
     else:
       raise NotImplementedError(f"acc sensor {stype}")
 
     sd = _write(m, sd, ids, dim, datatype, val)
   return d.replace(sensordata=sd)
+
+
+def _contact_sensor(m: Model, d: Data, sd: jax.Array, ids) -> jax.Array:
+  """mjSENS_CONTACT (MuJoCo 3.3+): match contacts against the sensor's
+  criteria, orient each so the first matched object is object-1, then
+  write `num` slots of the selected data fields, optionally reduced.
+
+  Oracle-probed semantics (no reference counterpart — capability-plus):
+  - criteria: geom/body (any geom of the body) / subtree (mjOBJ_XBODY) are
+    SIDED; `site` is a volumetric whole-contact test on contact.pos (the
+    site's volume, like INSIDESITE).  Two sided criteria must match
+    opposite sides; one matches either side.
+  - flipping a contact negates normal and tangent (frame rows 0 and 1) and
+    the t2 components of force/torque: reported force is "applied by
+    object-1 onto object-2" in the (possibly flipped) contact frame.
+  - `found` = TOTAL number of matches, written only into filled slots.
+  - reduce: none (first `num` matches in contact order — NOTE: mjtpu's
+    contact ordering can differ from C's when several collider groups
+    coexist), mindist, maxforce (largest normal force), netforce
+    (world-frame force/torque sums about the force-magnitude-weighted
+    centroid, reported in the pos field).
+  - C applies no cutoff clamp to this sensor (oracle-probed)."""
+  from mjtpu._src import collision_driver
+
+  con = d.contact
+  nslots = con.dist.shape[0] if collision_driver.ncon(m) else 0
+  if nslots == 0:
+    return sd
+  dtype = sd.dtype
+  forces6 = support.contact_forces(m, d)
+  detected = con.dist < con.margin
+  geom_body = jnp.asarray(np.asarray(m.geom_bodyid))
+  intprm = np.asarray(m.sensor_intprm)
+  objtype_all = np.asarray(m.sensor_objtype)
+  objid_all = np.asarray(m.sensor_objid)
+  reftype_all = np.asarray(m.sensor_reftype)
+  refid_all = np.asarray(m.sensor_refid)
+  adr_all = np.asarray(m.sensor_adr)
+  dim_all = np.asarray(m.sensor_dim)
+
+  def side_mask(otype, oid):
+    if otype == int(ObjType.GEOM):
+      return con.geom1 == oid, con.geom2 == oid
+    if otype == int(ObjType.BODY):
+      b1, b2 = geom_body[con.geom1], geom_body[con.geom2]
+      return b1 == oid, b2 == oid
+    if otype == int(ObjType.XBODY):  # subtree criterion
+      sub = jnp.asarray(_subtree_bodies(m, oid))
+      return sub[geom_body[con.geom1]], sub[geom_body[con.geom2]]
+    raise NotImplementedError(f"contact sensor criterion objtype {otype}")
+
+  for sidx in ids:
+    dataspec, reduce_, num = (int(x) for x in intprm[sidx])
+    slotdim = sum(w for bit, _, w in _CONTACT_FIELDS if dataspec & bit)
+    assert slotdim * num == int(dim_all[sidx])
+
+    # --- matching + flip orientation ---
+    whole = detected
+    sided = []
+    for otype, oid in (
+        (int(objtype_all[sidx]), int(objid_all[sidx])),
+        (int(reftype_all[sidx]), int(refid_all[sidx])),
+    ):
+      if oid < 0 or otype == int(ObjType.UNKNOWN):
+        continue
+      if otype == int(ObjType.SITE):
+        whole = whole & _points_in_site(m, d, oid, con.pos)
+      else:
+        sided.append(side_mask(otype, oid))
+    if not sided:
+      match, flip = whole, jnp.zeros(nslots, bool)
+    elif len(sided) == 1:
+      m1, m2 = sided[0]
+      match, flip = whole & (m1 | m2), m2 & ~m1
+    else:
+      (a1, a2), (b1m, b2m) = sided
+      fwd, rev = a1 & b2m, a2 & b1m
+      match, flip = whole & (fwd | rev), rev & ~fwd
+
+    found = jnp.sum(match.astype(jnp.int32))
+    sgn = jnp.where(flip, -1.0, 1.0).astype(dtype)
+    t2flip = jnp.stack([jnp.ones_like(sgn), jnp.ones_like(sgn), sgn], -1)
+    fields = {
+        "force": forces6[:, :3] * t2flip,
+        "torque": forces6[:, 3:] * t2flip,
+        "dist": con.dist[:, None],
+        "pos": con.pos,
+        "normal": con.frame[:, 0] * sgn[:, None],
+        "tangent": con.frame[:, 1] * sgn[:, None],
+    }
+
+    if reduce_ == _CONTACT_NETFORCE:
+      mf = match.astype(dtype)
+      # world-frame wrench per contact, oriented (flip negates the wrench)
+      f_w = jnp.einsum("ci,cij->cj", forces6[:, :3], con.frame) * sgn[:, None]
+      t_w = jnp.einsum("ci,cij->cj", forces6[:, 3:], con.frame) * sgn[:, None]
+      # force-magnitude weights for the centroid (oracle-probed: |f|, not fn)
+      w = mf * jnp.linalg.norm(forces6[:, :3], axis=1)
+      pos_c = (w[:, None] * con.pos).sum(0) / jnp.maximum(w.sum(), 1e-15)
+      f_net = (mf[:, None] * f_w).sum(0)
+      t_net = (
+          mf[:, None] * (jnp.cross(con.pos - pos_c, f_w) + t_w)
+      ).sum(0)
+      any_found = (found > 0).astype(dtype)
+      slot = {
+          "force": f_net * any_found,
+          "torque": t_net * any_found,
+          "pos": pos_c * any_found,
+          "dist": jnp.zeros(1, dtype),
+          "normal": jnp.zeros(3, dtype),
+          "tangent": jnp.zeros(3, dtype),
+          "found": found.astype(dtype)[None],
+      }
+      row = jnp.concatenate(
+          [slot[name] for bit, name, _ in _CONTACT_FIELDS if dataspec & bit]
+      )
+      slots = jnp.broadcast_to(row, (num, slotdim))
+    elif reduce_ in (_CONTACT_MINDIST, _CONTACT_MAXFORCE):
+      if reduce_ == _CONTACT_MINDIST:
+        i = jnp.argmin(jnp.where(match, con.dist, jnp.inf))
+      else:
+        i = jnp.argmax(jnp.where(match, forces6[:, 0], -jnp.inf))
+      any_found = (found > 0).astype(dtype)
+      slot = {k: v[i] * any_found for k, v in fields.items()}
+      slot["found"] = found.astype(dtype)[None]
+      row = jnp.concatenate(
+          [slot[name] for bit, name, _ in _CONTACT_FIELDS if dataspec & bit]
+      )
+      slots = jnp.broadcast_to(row, (num, slotdim))
+    else:
+      # first `num` matches in contact order; extras go to a dump row
+      rows = jnp.concatenate(
+          [
+              fields[name] if name != "found"
+              else jnp.zeros((nslots, 1), dtype)
+              for bit, name, _ in _CONTACT_FIELDS
+              if dataspec & bit
+          ],
+          axis=1,
+      )
+      order = jnp.cumsum(match.astype(jnp.int32)) - 1
+      tgt = jnp.where(match & (order < num), order, num)
+      slots = jnp.zeros((num + 1, slotdim), dtype).at[tgt].set(rows)[:num]
+      if dataspec & 1:
+        nfill = jnp.minimum(found, num)
+        slots = slots.at[:, 0].set(
+            jnp.where(jnp.arange(num) < nfill, found.astype(dtype), 0.0)
+        )
+
+    adr = int(adr_all[sidx])
+    sd = sd.at[adr : adr + num * slotdim].set(slots.reshape(-1))
+  return sd

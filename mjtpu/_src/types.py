@@ -260,6 +260,8 @@ class SensorType(enum.IntEnum):
   TENDONLIMITFRC = mujoco.mjtSensor.mjSENS_TENDONLIMITFRC
   # version-gated: added in MuJoCo 3.1+; -3 sentinel never matches a model
   TENDONACTFRC = getattr(mujoco.mjtSensor, "mjSENS_TENDONACTFRC", -3)
+  # version-gated: added in MuJoCo 3.3 (match+reduce contact query sensor)
+  CONTACT = getattr(mujoco.mjtSensor, "mjSENS_CONTACT", -4)
 
 
 class ObjType(enum.IntEnum):
@@ -586,6 +588,7 @@ class Model:
   sensor_refid: np.ndarray = static(None)
   sensor_dim: np.ndarray = static(None)
   sensor_adr: np.ndarray = static(None)
+  sensor_intprm: np.ndarray = static(None)  # CONTACT: [dataspec, reduce, num]
   sensor_cutoff: jax.Array = None
   # ---- custom numerics / names ----
   numeric_adr: np.ndarray = static(None)
