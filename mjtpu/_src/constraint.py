@@ -417,27 +417,34 @@ def _limit_rows(m: Model, d: Data) -> list[_Rows]:
     qadr, dadr = int(m.jnt_qposadr[j]), int(m.jnt_dofadr[j])
     margin = m.jnt_margin[j]
     if jtype in (JointType.SLIDE, JointType.HINGE):
-      # one row PER SIDE, lower then upper (C emits both when the range
-      # is narrower than 2*margin — oracle-probed; each row is gated on
-      # its own side's distance)
       dist_min = d.qpos[qadr] - m.jnt_range[j, 0]
       dist_max = m.jnt_range[j, 1] - d.qpos[qadr]
-      pos = jnp.stack([dist_min, dist_max]) - margin
-      side = jnp.asarray([1.0, -1.0], dtype)
+      if np.asarray(m.jnt_limit_two_sided)[j]:
+        # range narrower than 2*margin: C can emit BOTH side rows at once
+        # (oracle-probed), lower then upper, each gated on its own side
+        pos = jnp.stack([dist_min, dist_max]) - margin
+        side = jnp.asarray([1.0, -1.0], dtype)
+        k = 2
+      else:
+        # wide range: at most one side is ever within margin, so the
+        # min-side single row is exactly C's materialized row
+        pos = (jnp.minimum(dist_min, dist_max) - margin)[None]
+        side = jnp.where(dist_min < dist_max, 1.0, -1.0).astype(dtype)[None]
+        k = 1
       active = (pos < 0).astype(dtype)
-      jrow = jnp.zeros((2, m.nv), dtype).at[:, dadr].set(side * active)
+      jrow = jnp.zeros((k, m.nv), dtype).at[:, dadr].set(side * active)
       rows.append(
           _Rows(
               J=jrow,
               pos=pos,
               pos_imp=pos,
               pos_out=pos,
-              bias=jnp.zeros(2, dtype),
-              margin=jnp.full((2,), margin, dtype),
-              invweight=jnp.broadcast_to(m.dof_invweight0[dadr], (2,)),
-              solref=jnp.broadcast_to(m.jnt_solref[j], (2, m.jnt_solref.shape[1])),
-              solimp=jnp.broadcast_to(m.jnt_solimp[j], (2, m.jnt_solimp.shape[1])),
-              frictionloss=jnp.zeros(2, dtype),
+              bias=jnp.zeros(k, dtype),
+              margin=jnp.full((k,), margin, dtype),
+              invweight=jnp.broadcast_to(m.dof_invweight0[dadr], (k,)),
+              solref=jnp.broadcast_to(m.jnt_solref[j], (k, m.jnt_solref.shape[1])),
+              solimp=jnp.broadcast_to(m.jnt_solimp[j], (k, m.jnt_solimp.shape[1])),
+              frictionloss=jnp.zeros(k, dtype),
           )
       )
       continue
@@ -477,29 +484,39 @@ def _limit_rows(m: Model, d: Data) -> list[_Rows]:
     dist_max = m.tendon_range[tens, 1] - length
     pos = jnp.minimum(dist_min, dist_max) - margin
     # +J pushes length up (lower limit active), -J down (upper active) —
-    # one row PER SIDE per tendon, lower then upper, interleaved in tendon
-    # order (C emits both when the range is narrower than 2*margin).
-    # +J pushes length up (lower limit active), -J down (upper active).
+    # +J pushes length up (lower limit active), -J down (upper active) —
+    # same side convention as the scalar-joint rows above
     k = len(tens)
-    pos = jnp.stack([dist_min, dist_max], axis=1).reshape(2 * k) - jnp.repeat(
-        margin, 2
-    )
-    side = jnp.tile(jnp.asarray([1.0, -1.0], dtype), k)
+    if support.tendon_limit_rows_per(m) == 2:
+      # some range is narrower than 2*margin: one row PER SIDE per tendon,
+      # lower then upper, interleaved in tendon order (C emits both)
+      pos = jnp.stack([dist_min, dist_max], axis=1).reshape(
+          2 * k
+      ) - jnp.repeat(margin, 2)
+      side = jnp.tile(jnp.asarray([1.0, -1.0], dtype), k)
+      ten_J = jnp.repeat(d.ten_J[tens], 2, axis=0)
+      rep = lambda x: jnp.repeat(x, 2, axis=0)
+      n = 2 * k
+    else:
+      # wide ranges: the min-side single row is exactly C's materialized row
+      pos = jnp.minimum(dist_min, dist_max) - margin
+      side = jnp.where(dist_min < dist_max, 1.0, -1.0).astype(dtype)
+      ten_J = d.ten_J[tens]
+      rep = lambda x: x
+      n = k
     active = (pos < 0).astype(dtype)
-    ten_J2 = jnp.repeat(d.ten_J[tens], 2, axis=0)
-    rep2 = lambda x: jnp.repeat(x, 2, axis=0)
     rows.append(
         _Rows(
-            J=(side * active)[:, None] * ten_J2,
+            J=(side * active)[:, None] * ten_J,
             pos=pos,
             pos_imp=pos,
             pos_out=pos,
-            bias=jnp.zeros(2 * k, dtype),
-            margin=rep2(margin),
-            invweight=rep2(m.tendon_invweight0[tens]),
-            solref=rep2(m.tendon_solref_lim[tens]),
-            solimp=rep2(m.tendon_solimp_lim[tens]),
-            frictionloss=jnp.zeros(2 * k, dtype),
+            bias=jnp.zeros(n, dtype),
+            margin=rep(margin),
+            invweight=rep(m.tendon_invweight0[tens]),
+            solref=rep(m.tendon_solref_lim[tens]),
+            solimp=rep(m.tendon_solimp_lim[tens]),
+            frictionloss=jnp.zeros(n, dtype),
         )
     )
   return rows

@@ -215,6 +215,14 @@ def put_model(m: mujoco.MjModel, dtype=None, _full_compat: bool = False) -> Mode
   fields["geom_fluid_np"] = np.array(m.geom_fluid)
   fields["geom_rbound_np"] = np.array(m.geom_rbound)
   fields["friction_dofid"] = np.nonzero(m.dof_frictionloss > 0)[0]
+  fields["jnt_limit_two_sided"] = (
+      np.array(m.jnt_range)[:, 1] - np.array(m.jnt_range)[:, 0]
+      < 2 * np.array(m.jnt_margin)
+  )
+  fields["tendon_limit_two_sided"] = (
+      np.array(m.tendon_range)[:, 1] - np.array(m.tendon_range)[:, 0]
+      < 2 * np.array(m.tendon_margin)
+  ) if m.ntendon else np.zeros(0, bool)
   fields["friction_tenid"] = np.nonzero(m.tendon_frictionloss > 0)[0]
   fields["mesh_convex"] = mesh_mod.get(m)
   fields["has_gravcomp"] = bool(np.any(m.body_gravcomp > 0))

@@ -109,10 +109,11 @@ def _limit_efc_rows(m: Model, ids: np.ndarray, tendon: bool) -> np.ndarray:
 
   Limit rows sit after the ne equality and nf friction rows, limited joints
   in joint order then limited tendons (constraint._limit_rows layout):
-  scalar joints and tendons get TWO rows (lower then upper — C emits both
-  when the range is narrower than 2*margin), ball joints one (the second
-  slot repeats it).  Rows exist statically; C materializes each only when
-  its side's dist < margin, so readers also gate on efc_pos < 0."""
+  scalar joints/tendons whose range is narrower than 2*margin get TWO rows
+  (lower then upper — C emits both sides at once only then), everything
+  else one (the second slot repeats it).  Rows exist statically; C
+  materializes each only when its side's dist < margin, so readers also
+  gate on efc_pos < 0."""
   from mjtpu._src.types import JointType
 
   ne, nf, nl, _ = support.count_constraints(m)
@@ -121,19 +122,18 @@ def _limit_efc_rows(m: Model, ids: np.ndarray, tendon: bool) -> np.ndarray:
     return rows
   limited_j = np.nonzero(np.asarray(m.jnt_limited))[0]
   jt = np.asarray(m.jnt_type)
+  two_j = np.asarray(m.jnt_limit_two_sided)
   # per-joint starting row + row count in the static layout
   start, starts, counts = ne + nf, {}, {}
   for j in limited_j:
-    n = 1 if jt[j] == int(JointType.BALL) else 2
+    n = 2 if (jt[j] != int(JointType.BALL) and two_j[j]) else 1
     starts[j], counts[j] = start, n
     start += n
   if tendon:
+    nper = support.tendon_limit_rows_per(m)
+    lookup = {}
     for k, t in enumerate(np.nonzero(np.asarray(m.tendon_limited))[0]):
-      starts[t], counts[t] = start + 2 * k, 2
-    lookup = {
-        t: (starts[t], counts[t])
-        for t in np.nonzero(np.asarray(m.tendon_limited))[0]
-    }
+      lookup[t] = (start + nper * k, nper)
   else:
     lookup = {j: (starts[j], counts[j]) for j in limited_j}
   for k, i in enumerate(np.asarray(ids)):

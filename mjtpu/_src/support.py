@@ -30,6 +30,15 @@ from mjtpu._src.types import (
 # ---------------------------------------------------------------------------
 
 
+def tendon_limit_rows_per(m: Model) -> int:
+  """Static rows per limited tendon: 2 iff any limited tendon's range is
+  narrower than 2*margin (C can then emit both sides at once), else 1."""
+  lim = np.asarray(m.tendon_limited).astype(bool)
+  if lim.any() and np.asarray(m.tendon_limit_two_sided)[lim].any():
+    return 2
+  return 1
+
+
 def count_constraints(m: Model) -> tuple[int, int, int, int]:
   """(ne, nf, nl, nefc) — static row counts (reference device.py:226-264)."""
   if m.opt.disableflags & DisableBit.CONSTRAINT:
@@ -54,20 +63,25 @@ def count_constraints(m: Model) -> tuple[int, int, int, int]:
   if m.opt.disableflags & DisableBit.LIMIT:
     nl = 0
   else:
-    # C materializes one row PER SIDE for scalar joints and tendons
-    # (lower then upper; both appear when the range is narrower than
-    # 2*margin) but a single row for ball joints, so the static
-    # allocation reserves 2 rows per limited slide/hinge and tendon
+    # C materializes one row PER SIDE for scalar joints and tendons, and
+    # both sides can be active at once only when the range is narrower
+    # than 2*margin — only such joints get two static rows (lower then
+    # upper); everything else (incl. ball joints) gets one.  Tendons: two
+    # rows each iff ANY limited tendon is two-sided (keeps the tendon
+    # block batchable); see constraint._limit_rows.
     from mjtpu._src.types import JointType
 
     jt = np.asarray(m.jnt_type)
     lim = np.asarray(m.jnt_limited).astype(bool)
     scalar = lim & np.isin(jt, (int(JointType.SLIDE), int(JointType.HINGE)))
     ball = lim & (jt == int(JointType.BALL))
-    nl = int(
-        2 * scalar.sum()
-        + ball.sum()
-        + 2 * np.asarray(m.tendon_limited).sum()
+    two = np.asarray(m.jnt_limit_two_sided)
+    nt_lim = int(np.asarray(m.tendon_limited).sum())
+    ten_rows = (
+        2 if tendon_limit_rows_per(m) == 2 else 1
+    ) * nt_lim
+    nl = int((scalar & two).sum() * 2 + (scalar & ~two).sum() + ball.sum()) + (
+        ten_rows
     )
 
   from mjtpu._src import collision_driver

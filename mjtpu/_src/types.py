@@ -598,6 +598,11 @@ class Model:
   # ---- derived static structure (computed once at put_model; the JAX analog
   # of the reference's device.py:632-884 precompute pass) ----
   friction_dofid: np.ndarray = static(None)   # dofs with frictionloss > 0
+  # (njnt,)/(ntendon,) bool: range narrower than 2*margin, so C can emit
+  # BOTH the lower and upper limit rows at once — such objects get two
+  # static rows; all others one (host precompute; see support.count_constraints)
+  jnt_limit_two_sided: np.ndarray = static(None)
+  tendon_limit_two_sided: np.ndarray = static(None)
   friction_tenid: np.ndarray = static(None)   # tendons with frictionloss > 0
   has_gravcomp: bool = static(False)          # any body_gravcomp > 0
   has_dof_damping: bool = static(False)       # any dof_damping > 0
