@@ -74,7 +74,7 @@ def _worker(result_path, deadline):
   jax.config.update("jax_compilation_cache_dir", "/tmp/mjtpu_xla_cache")
   jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
-  batch = int(os.environ.get("MJTPU_BENCH_BATCH", "4096"))
+  batch = int(os.environ.get("MJTPU_BENCH_BATCH", "16384"))
   nsteps = int(os.environ.get("MJTPU_BENCH_STEPS", "1000"))
   nwarm = int(os.environ.get("MJTPU_BENCH_WARMUP", "100"))
   model_name = os.environ.get("MJTPU_BENCH_MODEL", "humanoid")
@@ -102,8 +102,14 @@ def _worker(result_path, deadline):
   # solver iteration count is data-dependent (lax.while_loop); for batched
   # throughput the loop runs to the slowest env, exactly like the reference.
   # direct per-step dispatch: XLA pipelines the async dispatches, and the
-  # tunneled TPU runtime degrades badly on long fori_loop-wrapped rollouts
-  step_fn = jax.jit(jax.vmap(mjtpu.step, in_axes=(None, 0)))
+  # tunneled TPU runtime degrades badly on long fori_loop-wrapped rollouts.
+  # The Data batch is donated: step is state-in/state-out with identical
+  # layouts, so XLA aliases the buffers and skips the defensive copies.
+  donate = os.environ.get("MJTPU_BENCH_DONATE", "1") == "1"
+  step_fn = jax.jit(
+      jax.vmap(mjtpu.step, in_axes=(None, 0)),
+      donate_argnums=(1,) if donate else (),
+  )
 
   def run(d, n):
     for _ in range(n):

@@ -405,76 +405,151 @@ def _friction_rows(m: Model, d: Data) -> list[_Rows]:
 
 
 def _limit_rows(m: Model, d: Data) -> list[_Rows]:
-  """Limit rows: slide/hinge joints batched; ball joints and tendons follow."""
+  """Limit rows: joints batched per category (one-sided slide/hinge,
+  two-sided slide/hinge, ball), then statically permuted back to mj joint
+  order; tendons follow.  One scatter per category instead of one per
+  joint — the per-joint [1, nv] scatters each materialized a fully padded
+  (8, 128)-tiled temp under vmap (≈130x memory blowup at large batch)."""
   dtype = d.qpos.dtype
   rows = []
   limited = np.nonzero(np.asarray(m.jnt_limited))[0]
   jt = np.asarray(m.jnt_type)
 
-  for j in limited:
-    # keep joint order (mj row order); batch would reorder scalar vs ball
-    jtype = JointType(int(jt[j]))
-    qadr, dadr = int(m.jnt_qposadr[j]), int(m.jnt_dofadr[j])
-    margin = m.jnt_margin[j]
-    if jtype in (JointType.SLIDE, JointType.HINGE):
-      dist_min = d.qpos[qadr] - m.jnt_range[j, 0]
-      dist_max = m.jnt_range[j, 1] - d.qpos[qadr]
-      if np.asarray(m.jnt_limit_two_sided)[j]:
-        # range narrower than 2*margin: C can emit BOTH side rows at once
-        # (oracle-probed), lower then upper, each gated on its own side
-        pos = jnp.stack([dist_min, dist_max]) - margin
-        side = jnp.asarray([1.0, -1.0], dtype)
-        k = 2
-      else:
-        # wide range: at most one side is ever within margin, so the
-        # min-side single row is exactly C's materialized row
-        pos = (jnp.minimum(dist_min, dist_max) - margin)[None]
-        side = jnp.where(dist_min < dist_max, 1.0, -1.0).astype(dtype)[None]
-        k = 1
+  if len(limited):
+    two = np.asarray(m.jnt_limit_two_sided).astype(bool)
+    is_sh = np.isin(jt[limited], (JointType.SLIDE, JointType.HINGE))
+    is_ball = jt[limited] == JointType.BALL
+    bad = limited[~(is_sh | is_ball)]
+    if len(bad):
+      raise NotImplementedError(
+          f"limit on joint type {JointType(int(jt[bad[0]]))}"
+      )
+    sh1 = limited[is_sh & ~two[limited]]
+    sh2 = limited[is_sh & two[limited]]
+    ball = limited[is_ball]
+    qposadr, dofadr = np.asarray(m.jnt_qposadr), np.asarray(m.jnt_dofadr)
+    parts = []
+
+    if len(sh1):
+      n = len(sh1)
+      dadr = dofadr[sh1]
+      q = d.qpos[qposadr[sh1]]
+      dist_min = q - m.jnt_range[sh1, 0]
+      dist_max = m.jnt_range[sh1, 1] - q
+      margin = m.jnt_margin[sh1]
+      # wide range: at most one side is ever within margin, so the
+      # min-side single row is exactly C's materialized row
+      pos = jnp.minimum(dist_min, dist_max) - margin
+      side = jnp.where(dist_min < dist_max, 1.0, -1.0).astype(dtype)
       active = (pos < 0).astype(dtype)
-      jrow = jnp.zeros((k, m.nv), dtype).at[:, dadr].set(side * active)
-      rows.append(
+      # one-hot placement constant: a fusable broadcast-multiply, not a scatter
+      onehot = np.zeros((n, m.nv), np.float32)
+      onehot[np.arange(n), dadr] = 1.0
+      J = jnp.asarray(onehot, dtype) * (side * active)[:, None]
+      parts.append(
           _Rows(
-              J=jrow,
+              J=J,
               pos=pos,
               pos_imp=pos,
               pos_out=pos,
-              bias=jnp.zeros(k, dtype),
-              margin=jnp.full((k,), margin, dtype),
-              invweight=jnp.broadcast_to(m.dof_invweight0[dadr], (k,)),
-              solref=jnp.broadcast_to(m.jnt_solref[j], (k, m.jnt_solref.shape[1])),
-              solimp=jnp.broadcast_to(m.jnt_solimp[j], (k, m.jnt_solimp.shape[1])),
-              frictionloss=jnp.zeros(k, dtype),
+              bias=jnp.zeros(n, dtype),
+              margin=margin,
+              invweight=m.dof_invweight0[dadr],
+              solref=m.jnt_solref[sh1],
+              solimp=m.jnt_solimp[sh1],
+              frictionloss=jnp.zeros(n, dtype),
           )
       )
-      continue
-    if jtype == JointType.BALL:
-      axis, angle = math.normalize_with_norm(
-          math.quat_to_vel(d.qpos[qadr : qadr + 4])
+
+    if len(sh2):
+      # range narrower than 2*margin: C can emit BOTH side rows at once
+      # (oracle-probed), lower then upper, each gated on its own side
+      n = len(sh2)
+      dadr = dofadr[sh2]
+      q = d.qpos[qposadr[sh2]]
+      dist_min = q - m.jnt_range[sh2, 0]
+      dist_max = m.jnt_range[sh2, 1] - q
+      margin = m.jnt_margin[sh2]
+      pos = jnp.stack([dist_min, dist_max], axis=1).reshape(2 * n)
+      pos = pos - jnp.repeat(margin, 2)
+      side = jnp.tile(jnp.asarray([1.0, -1.0], dtype), n)
+      active = (pos < 0).astype(dtype)
+      onehot = np.zeros((2 * n, m.nv), np.float32)
+      onehot[np.arange(2 * n), np.repeat(dadr, 2)] = 1.0
+      J = jnp.asarray(onehot, dtype) * (side * active)[:, None]
+      parts.append(
+          _Rows(
+              J=J,
+              pos=pos,
+              pos_imp=pos,
+              pos_out=pos,
+              bias=jnp.zeros(2 * n, dtype),
+              margin=jnp.repeat(margin, 2),
+              invweight=jnp.repeat(m.dof_invweight0[dadr], 2),
+              solref=jnp.repeat(m.jnt_solref[sh2], 2, axis=0),
+              solimp=jnp.repeat(m.jnt_solimp[sh2], 2, axis=0),
+              frictionloss=jnp.zeros(2 * n, dtype),
+          )
+      )
+
+    if len(ball):
+      n = len(ball)
+      dadr = dofadr[ball]
+      quat = d.qpos[qposadr[ball][:, None] + np.arange(4)]  # (n, 4)
+      axis, angle = jax.vmap(
+          lambda q: math.normalize_with_norm(math.quat_to_vel(q))
+      )(quat)
+      # C parity at zero rotation: mju_normalize3 leaves (1,0,0) for a
+      # degenerate input, and the row can be live there via the margin
+      axis = jnp.where(
+          (angle < math.MINVAL)[:, None],
+          jnp.asarray([1.0, 0.0, 0.0], dtype),
+          axis,
       )
       ang_limit = jnp.maximum(
-          jnp.abs(m.jnt_range[j, 0]), jnp.abs(m.jnt_range[j, 1])
+          jnp.abs(m.jnt_range[ball, 0]), jnp.abs(m.jnt_range[ball, 1])
       )
+      margin = m.jnt_margin[ball]
       pos = ang_limit - angle - margin
       active = (pos < 0).astype(dtype)
-      jrow = jnp.zeros((1, m.nv), dtype)
-      jrow = jrow.at[0, dadr : dadr + 3].set(-axis * active)
-    else:
-      raise NotImplementedError(f"limit on joint type {jtype}")
-    rows.append(
-        _Rows(
-            J=jrow,
-            pos=pos[None],
-            pos_imp=pos[None],
-            pos_out=pos[None],
-            bias=jnp.zeros(1, dtype),
-            margin=jnp.full((1,), margin, dtype),
-            invweight=m.dof_invweight0[dadr][None],
-            solref=m.jnt_solref[j][None],
-            solimp=m.jnt_solimp[j][None],
-            frictionloss=jnp.zeros(1, dtype),
-        )
+      # static (n, 3, nv) axis-placement one-hot: J[i, dadr_i + k] = vals[i, k]
+      place = np.zeros((n, 3, m.nv), np.float32)
+      place[np.arange(n)[:, None], np.arange(3), dadr[:, None] + np.arange(3)] = 1.0
+      J = jnp.einsum("nk,nkv->nv", -axis * active[:, None], jnp.asarray(place, dtype))
+      parts.append(
+          _Rows(
+              J=J,
+              pos=pos,
+              pos_imp=pos,
+              pos_out=pos,
+              bias=jnp.zeros(n, dtype),
+              margin=margin,
+              invweight=m.dof_invweight0[dadr],
+              solref=m.jnt_solref[ball],
+              solimp=m.jnt_solimp[ball],
+              frictionloss=jnp.zeros(n, dtype),
+          )
+      )
+
+    # static permutation from category-concatenated order to mj joint order
+    starts, base = {}, 0
+    for cat, per in ((sh1, 1), (sh2, 2), (ball, 1)):
+      for p, j in enumerate(cat):
+        starts[j] = (base + per * p, per)
+      base += per * len(cat)
+    perm = np.concatenate(
+        [np.arange(s, s + c) for j in limited for s, c in (starts[j],)]
     )
+    if len(parts) == 1:
+      block = parts[0]
+    else:
+      block = _Rows(*(
+          jnp.concatenate([getattr(p, f) for p in parts])
+          for f in _Rows._fields[:-1]
+      ))
+    if not np.array_equal(perm, np.arange(len(perm))):
+      block = _Rows(*(getattr(block, f)[perm] for f in _Rows._fields[:-1]))
+    rows.append(block)
 
   tens = np.nonzero(np.asarray(m.tendon_limited))[0]
   if len(tens):

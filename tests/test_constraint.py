@@ -300,3 +300,64 @@ def test_refsafe():
   np.testing.assert_allclose(
       np.asarray(d.efc_aref)[rows], np.array(mjd.efc_aref), atol=1e-10
   )
+
+
+def test_ball_limit_zero_rotation_margin():
+  """Ball limit row live at zero rotation (tiny range + margin): C's
+  mju_normalize3 leaves the degenerate axis at (1,0,0); the row must
+  match, not silently zero out (found by a margin-band verify drive)."""
+  xml = """<mujoco><worldbody><body pos="0 0 1">
+    <joint type="ball" range="0 0.4" limited="true" margin="0.01"/>
+    <geom type="capsule" size="0.05" fromto="0 0 0 0.3 0 0"/>
+    </body></worldbody></mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  mjd.qvel[:] = [0.1, -0.2, 0.15]
+  mujoco.mj_forward(mjm, mjd)
+  assert mjd.nefc == 1  # the limit row IS active inside the margin band
+  m = mjtpu.put_model(mjm)
+  d = mjtpu.make_data(m)
+  d = d.replace(qvel=jnp.asarray(np.array(mjd.qvel)))
+  d = mjtpu.forward(m, d)
+  np.testing.assert_allclose(np.asarray(d.qacc), mjd.qacc, atol=1e-10)
+  # the J row carries C's degenerate-input default axis
+  j = np.asarray(d.efc_J)
+  live = np.abs(j).max(axis=1) > EPS
+  assert live.sum() == 1
+  np.testing.assert_allclose(j[live][0], [-1.0, 0.0, 0.0], atol=1e-12)
+
+
+def test_limit_rows_batched_order():
+  """Interleaved ball and hinge limited joints keep mj row order after
+  the per-category batching + static permutation."""
+  xml = """<mujoco><worldbody><body pos="0 0 1">
+    <joint type="ball" range="0 30" limited="true"/>
+    <geom type="capsule" size="0.05" fromto="0 0 0 0.3 0 0"/>
+    <body pos="0.3 0 0">
+      <joint type="hinge" axis="0 1 0" range="-20 20" limited="true"/>
+      <geom type="capsule" size="0.04" fromto="0 0 0 0.2 0 0"/>
+      <body pos="0.2 0 0">
+        <joint type="ball" range="0 25" limited="true"/>
+        <geom type="capsule" size="0.03" fromto="0 0 0 0.15 0 0"/>
+      </body>
+    </body>
+    </body></worldbody></mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  # place every joint past its limit: all 7 potential rows live
+  axis = np.array([0.3, -0.5, 0.81])
+  axis /= np.linalg.norm(axis)
+  mujoco.mju_axisAngle2Quat(mjd.qpos[0:4], axis, np.deg2rad(35.0))
+  mjd.qpos[4] = np.deg2rad(25.0)
+  mujoco.mju_axisAngle2Quat(mjd.qpos[5:9], -axis, np.deg2rad(28.0))
+  mujoco.mj_forward(mjm, mjd)
+  m = mjtpu.put_model(mjm)
+  d = mjtpu.make_data(m)
+  d = d.replace(qpos=jnp.asarray(np.array(mjd.qpos)))
+  d = mjtpu.forward(m, d)
+  j = np.asarray(d.efc_J)
+  live = np.abs(j).max(axis=1) > EPS
+  assert mjd.nefc == live.sum() == 3
+  np.testing.assert_allclose(np.asarray(d.efc_pos)[live], mjd.efc_pos, atol=1e-10)
+  np.testing.assert_allclose(j[live], mjd.efc_J.reshape(mjd.nefc, -1), atol=1e-10)
+  np.testing.assert_allclose(np.asarray(d.qacc), mjd.qacc, atol=1e-8)
