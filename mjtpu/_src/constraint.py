@@ -103,22 +103,26 @@ def _contact_jacobians(m: Model, d: Data):
   )
   com1 = d.subtree_com[rootid[b1]]
   com2 = d.subtree_com[rootid[b2]]
-  pos = d.contact.pos  # (ncon, 3)
+  pos = d.contact.pos    # (ncon, 3)
+  frame = d.contact.frame  # (ncon, 3, 3), rows = contact axes
+  w = d.cdof[:, :3]      # (nv, 3) rotational dof axes
+  v = d.cdof[:, 3:]      # (nv, 3) translational
 
-  def one(mask1, mask2, c1, c2, p, frame):
-    off1 = p - c1
-    off2 = p - c2
-    jacp1 = (d.cdof[:, 3:] + jnp.cross(d.cdof[:, :3], off1[None, :])) * mask1[:, None]
-    jacp2 = (d.cdof[:, 3:] + jnp.cross(d.cdof[:, :3], off2[None, :])) * mask2[:, None]
-    jacr1 = d.cdof[:, :3] * mask1[:, None]
-    jacr2 = d.cdof[:, :3] * mask2[:, None]
-    jt = frame @ (jacp2 - jacp1).T  # (3, nv)
-    jr = frame @ (jacr2 - jacr1).T  # (3, nv)
-    return jt, jr
-
-  mask1 = mask_np[b1]
-  mask2 = mask_np[b2]
-  jt, jr = jax.vmap(one)(mask1, mask2, com1, com2, pos, d.contact.frame)
+  # jacp_k[j] = (v_j + w_j x off_k) * mask_k; jt[i, j] = f_i . (jacp2-jacp1)_j
+  # Rewritten with the triple product f.(w x off) = w.(off x f) so each term
+  # is a 3-contraction dot_general with an elementwise epilogue — the naive
+  # per-contact (nv, 3) difference materialized a [B, ncon, nv, 3] temp that
+  # XLA tile-padded 7.4x (8.6 GB at B=32k on humanoid).
+  mask1 = mask_np[b1][:, None, :]  # (ncon, 1, nv)
+  mask2 = mask_np[b2][:, None, :]
+  fv = jnp.einsum("cik,jk->cij", frame, v)  # f_i . v_j
+  g1 = jnp.cross((pos - com1)[:, None, :], frame)  # rows: off1 x f_i
+  g2 = jnp.cross((pos - com2)[:, None, :], frame)
+  wg1 = jnp.einsum("cik,jk->cij", g1, w)  # w_j . (off1 x f_i)
+  wg2 = jnp.einsum("cik,jk->cij", g2, w)
+  jt = mask2 * (fv + wg2) - mask1 * (fv + wg1)
+  fw = jnp.einsum("cik,jk->cij", frame, w)  # f_i . w_j
+  jr = (mask2 - mask1) * fw
   return jt, jr, (b1, b2)
 
 
