@@ -14,6 +14,11 @@ A small-matmul health check with retry guards against the tunneled-TPU
 wedge documented in CLAUDE.md.
 
 Baseline: MJX humanoid at B=4096 on H200 = 2,197,238 steps/s (BASELINE.md).
+The default model is humanoid_bench: the standard MJX benchmark humanoid
+(same morphology, solver config iterations=1/ls_iterations=4, pair-only
+contacts) so the vs_baseline ratio is apples-to-apples with the MJX row;
+MJTPU_BENCH_MODEL=humanoid selects the heavier zoo humanoid (full
+self-collision candidate set, run-to-tolerance solver).
 
 Env knobs: MJTPU_BENCH_{MODEL,BATCH,STEPS,WARMUP,BUDGET}.
 """
@@ -74,10 +79,10 @@ def _worker(result_path, deadline):
   jax.config.update("jax_compilation_cache_dir", "/tmp/mjtpu_xla_cache")
   jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
-  batch = int(os.environ.get("MJTPU_BENCH_BATCH", "16384"))
+  batch = int(os.environ.get("MJTPU_BENCH_BATCH", "131072"))
   nsteps = int(os.environ.get("MJTPU_BENCH_STEPS", "1000"))
   nwarm = int(os.environ.get("MJTPU_BENCH_WARMUP", "100"))
-  model_name = os.environ.get("MJTPU_BENCH_MODEL", "humanoid")
+  model_name = os.environ.get("MJTPU_BENCH_MODEL", "humanoid_bench")
 
   _health_check()
 

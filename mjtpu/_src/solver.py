@@ -191,52 +191,74 @@ def _row_costs(m: Model, meta: _EfcMeta, Jaref, efc_D, efc_frictionloss, mu):
   return force, jnp.sum(cost), quad
 
 
-def _linesearch_derivs(m, meta, Jaref, jv, efc_D, efc_frictionloss, mu, alpha, g1, g2):
-  """(phi'(alpha), phi''(alpha)) of the piecewise-quadratic total cost."""
+class _LSPoint(NamedTuple):
+  alpha: jax.Array  # ()
+  cost: jax.Array   # ()
+  d0: jax.Array     # () phi'(alpha)
+  d1: jax.Array     # () phi''(alpha), floored positive
+
+
+def _ls_point(meta, quad_gauss, quad, Jaref, jv, efc_D, efc_frictionloss, mu,
+              alpha):
+  """Evaluate (cost, phi', phi'') of the piecewise-quadratic total cost at
+  alpha — MuJoCo C's LSPoint (reference solver.py:397-422): per-row
+  quadratic coefficients masked by the active set at x = Jaref + alpha*jv,
+  plus frictionloss linear zones and elliptic-cone zone corrections."""
   ne, nf = meta.ne, meta.nf
   nefc = meta.nefc
   x = Jaref + alpha * jv
+  dtype = Jaref.dtype
 
   row_idx = np.arange(nefc)
-  is_fric = jnp.asarray((row_idx >= ne) & (row_idx < ne + nf))
-  is_ineq = jnp.asarray(row_idx >= ne + nf)
+  eq_fric = jnp.asarray(row_idx < ne + nf)
+  active = (x < 0) | eq_fric
 
-  dquad = efc_D * x * jv
-  ddquad = efc_D * jv * jv
-
+  adjust = jnp.zeros(3, dtype)
   if nf:
+    is_fric = jnp.asarray((row_idx >= ne) & (row_idx < ne + nf))
     f = efc_frictionloss
+    has_f = is_fric & (f > 0)
     R = 1.0 / jnp.maximum(math.MINVAL, efc_D)
-    lin_neg = x <= -R * f
-    lin_pos = x >= R * f
-    dquad = jnp.where(
-        is_fric & lin_neg, -f * jv, jnp.where(is_fric & lin_pos, f * jv, dquad)
+    rf = R * f
+    fl_ln = has_f & (x <= -rf)
+    fl_lp = has_f & (x >= rf)
+    qf0 = jnp.sum(jnp.where(fl_ln, f * (-0.5 * rf - Jaref), 0.0)) + jnp.sum(
+        jnp.where(fl_lp, f * (-0.5 * rf + Jaref), 0.0)
     )
-    ddquad = jnp.where(is_fric & (lin_neg | lin_pos), 0.0, ddquad)
+    qf1 = jnp.sum(jnp.where(fl_ln, -f * jv, 0.0)) + jnp.sum(
+        jnp.where(fl_lp, f * jv, 0.0)
+    )
+    adjust = jnp.stack([qf0, qf1, jnp.zeros((), dtype)])
+    active = active & ~fl_ln & ~fl_lp
 
-  inactive = is_ineq & (x >= 0)
-  dquad = jnp.where(inactive, 0.0, dquad)
-  ddquad = jnp.where(inactive, 0.0, ddquad)
+  qt = quad_gauss + jnp.sum(
+      jnp.where(active[:, None], quad, 0.0), axis=0
+  ) + adjust
+  cost = alpha * alpha * qt[2] + alpha * qt[1] + qt[0]
+  d0 = 2.0 * alpha * qt[2] + qt[1]
+  d1 = 2.0 * qt[2]
 
-  dphi = g1 + 2.0 * g2 * alpha + jnp.sum(dquad)
-  ddphi = 2.0 * g2 + jnp.sum(ddquad)
-
-  # elliptic groups: replace their rows' contribution with cone derivative
+  # elliptic groups: replace their rows' one-sided-quadratic contribution
+  # with the cone zones (batched over each group's K contacts)
   for dim, starts, _ in meta.elliptic_groups:
     idx = _group_rows(starts, dim)                      # (K, dim) static
     X = x[idx]
     JV = jv[idx]
     Db = efc_D[idx]
+    XA = Jaref[idx]
     N, T, mu_t, v_scale, dm = _elliptic_geometry(X, Db, mu[np.asarray(starts)])
     jn, ju = JV[:, 0], JV[:, 1:] * v_scale
     v = X[:, 1:] * v_scale
     top = N >= mu_t * T
     bottom = (mu_t * N + T) <= 0
-    # remove the default (quadratic one-sided) contribution of these rows
+    # remove default (one-sided quadratic) contribution of these rows
     blk_active = X < 0
-    dphi = dphi - jnp.sum(jnp.where(blk_active, Db * X * JV, 0.0))
-    ddphi = ddphi - jnp.sum(jnp.where(blk_active, Db * JV * JV, 0.0))
-    # bottom: full quadratic
+    cost = cost - jnp.sum(jnp.where(blk_active, 0.5 * Db * X * X, 0.0))
+    d0 = d0 - jnp.sum(jnp.where(blk_active, Db * X * JV, 0.0))
+    d1 = d1 - jnp.sum(jnp.where(blk_active, Db * JV * JV, 0.0))
+    del XA
+    # bottom: full quadratic over the block
+    c_bot = 0.5 * jnp.sum(Db * X * X, axis=1)
     d_bot = jnp.sum(Db * X * JV, axis=1)
     dd_bot = jnp.sum(Db * JV * JV, axis=1)
     # middle: cone cost 0.5*dm*(N - mu T)^2
@@ -245,14 +267,15 @@ def _linesearch_derivs(m, meta, Jaref, jv, efc_D, efc_frictionloss, mu, alpha, g
     ddt = (jnp.sum(ju * ju, axis=1) - dt * dt) / tsafe
     nmt = N - mu_t * T
     dnmt = jn - mu_t * dt
+    c_mid = 0.5 * dm * nmt * nmt
     d_mid = dm * nmt * dnmt
     dd_mid = dm * (dnmt * dnmt + nmt * (-mu_t) * ddt)
-    dphi = dphi + jnp.sum(
-        jnp.where(top, 0.0, jnp.where(bottom, d_bot, d_mid)))
-    ddphi = ddphi + jnp.sum(
-        jnp.where(top, 0.0, jnp.where(bottom, dd_bot, dd_mid)))
+    cost = cost + jnp.sum(jnp.where(top, 0.0, jnp.where(bottom, c_bot, c_mid)))
+    d0 = d0 + jnp.sum(jnp.where(top, 0.0, jnp.where(bottom, d_bot, d_mid)))
+    d1 = d1 + jnp.sum(jnp.where(top, 0.0, jnp.where(bottom, dd_bot, dd_mid)))
 
-  return dphi, ddphi
+  d1 = d1 + (d1 == 0.0) * math.MINVAL
+  return _LSPoint(alpha=alpha, cost=cost, d0=d0, d1=d1)
 
 
 def _rescale(m: Model, value):
@@ -332,53 +355,91 @@ def solve(m: Model, d: Data, fixed_iterations: bool = False) -> Data:
       mgrad = smooth.solve_m(m, d, grad)
     return grad, mgrad
 
-  def linesearch(qacc, Ma, Jaref, search):
+  def linesearch(qacc, Ma, Jaref, search, gauss):
+    """MuJoCo C's exact 3-point lo/hi bracket-swap linesearch (matches the
+    reference solver.py:378-497 / MJX), so iterate paths — and therefore
+    trajectories under truncated-iteration benchmark configs like the
+    standard humanoid's iterations=1/ls_iterations=4 — are identical to C,
+    not merely the converged solutions."""
     mv = d.qM @ search
     jv = efc_J @ search
-    g1 = jnp.dot(search, Ma - qfrc_smooth)
-    g2 = 0.5 * jnp.dot(search, mv)
 
     smag = math.safe_norm(search) * m.stat.meaninertia * max(1, m.nv)
     gtol = m.opt.tolerance * m.opt.ls_tolerance * smag
 
-    derivs = lambda a: _linesearch_derivs(
-        m, meta, Jaref, jv, efc_D, efc_frictionloss, mu_rows, a, g1, g2
+    quad_gauss = jnp.stack([
+        gauss,
+        jnp.dot(search, Ma - qfrc_smooth),
+        0.5 * jnp.dot(search, mv),
+    ])
+    quad = (
+        jnp.stack([0.5 * Jaref * Jaref, jv * Jaref, 0.5 * jv * jv], axis=1)
+        * efc_D[:, None]
+    )  # (nefc, 3)
+
+    point = lambda a: _ls_point(
+        meta, quad_gauss, quad, Jaref, jv, efc_D, efc_frictionloss, mu_rows, a
     )
 
-    dp0, ddp0 = derivs(jnp.zeros((), dtype))
-    # no-descent guard: a (near-)converged state has ~zero gradient along
-    # the search direction; -0/MINVAL would otherwise produce garbage steps
-    no_descent = dp0 >= -jnp.maximum(gtol, 1e-300)
-    alpha0 = jnp.where(
-        no_descent, 0.0, -dp0 / jnp.maximum(math.MINVAL, ddp0)
+    p0 = point(jnp.zeros((), dtype))
+    p1 = point(p0.alpha - p0.d0 / p0.d1)
+    # if the Newton step already meets gtol, skip the bracket search
+    early = jnp.abs(p1.d0) < gtol
+    swap01 = p1.d0 < p0.d0
+    lo = jax.tree.map(lambda a, b: jnp.where(swap01, a, b), p1, p0)
+    hi = jax.tree.map(lambda a, b: jnp.where(swap01, a, b), p0, p1)
+
+    def ls_cond(carry):
+      lo, hi, swap, i = carry
+      done = i >= m.opt.ls_iterations
+      done = done | ~swap
+      done = done | ((lo.d0 < 0) & (lo.d0 > -gtol))
+      done = done | ((hi.d0 > 0) & (hi.d0 < gtol))
+      return ~done
+
+    def ls_body(carry):
+      lo, hi, _, i = carry
+      lo_next = point(lo.alpha - lo.d0 / lo.d1)
+      hi_next = point(hi.alpha - hi.d0 / hi.d1)
+      mid = point(0.5 * (lo.alpha + hi.alpha))
+
+      # accept a candidate if it narrows the bracket toward zero derivative,
+      # or (when both endpoints have same-sign derivative: no bracket yet)
+      # if it reduces |phi'| — C's one-sided Newton phase
+      in_bracket = lambda cur, cand: ((cur < cand) & (cand < 0)) | (
+          (cur > cand) & (cand > 0)
+      )
+      not_bracketed = (lo.d0 < 0) == (hi.d0 < 0)
+      accept = lambda cur, cand: in_bracket(cur, cand) | (
+          not_bracketed & (jnp.abs(cand) < jnp.abs(cur))
+      )
+      pick = lambda sw, cur, cand: jax.tree.map(
+          lambda a, b: jnp.where(sw, b, a), cur, cand
+      )
+
+      s1 = accept(lo.d0, lo_next.d0)
+      lo = pick(s1, lo, lo_next)
+      s2 = accept(lo.d0, mid.d0)
+      lo = pick(s2, lo, mid)
+      s3 = accept(lo.d0, hi_next.d0)
+      lo = pick(s3, lo, hi_next)
+      s4 = accept(hi.d0, hi_next.d0)
+      hi = pick(s4, hi, hi_next)
+      s5 = accept(hi.d0, mid.d0)
+      hi = pick(s5, hi, mid)
+      s6 = accept(hi.d0, lo_next.d0)
+      hi = pick(s6, hi, lo_next)
+      swap = s1 | s2 | s3 | s4 | s5 | s6
+      return lo, hi, swap, i + 1
+
+    lo, hi, _, _ = jax.lax.while_loop(
+        ls_cond, ls_body, (lo, hi, ~early, jnp.zeros((), jnp.int32))
     )
 
-    # guarded Newton with expanding bracket on phi'
-    def body(_, carry):
-      lo, hi, alpha, dp, ddp, done = carry
-      newton_a = alpha - dp / jnp.maximum(math.MINVAL, ddp)
-      lo = jnp.where(dp < 0, jnp.maximum(lo, alpha), lo)
-      hi = jnp.where(dp >= 0, jnp.minimum(hi, alpha), hi)
-      # candidate: newton if inside bracket else midpoint / expansion
-      have_hi = jnp.isfinite(hi)
-      mid = jnp.where(have_hi, 0.5 * (lo + hi), 2.0 * jnp.maximum(alpha, 1.0))
-      cand = jnp.where((newton_a > lo) & (newton_a < hi), newton_a, mid)
-      dp_c, ddp_c = derivs(cand)
-      new_done = done | (jnp.abs(dp_c) < gtol)
-      alpha = jnp.where(done, alpha, cand)
-      dp = jnp.where(done, dp, dp_c)
-      ddp = jnp.where(done, ddp, ddp_c)
-      return lo, hi, alpha, dp, ddp, new_done
-
-    init = (
-        jnp.zeros((), dtype),
-        jnp.asarray(jnp.inf, dtype),
-        alpha0,
-        *derivs(alpha0),
-        no_descent,
-    )
-    _, _, alpha, _, _, _ = jax.lax.fori_loop(0, m.opt.ls_iterations, body, init)
-    alpha = jnp.where(no_descent, 0.0, alpha)
+    # move only if improved; prefer the lower-cost endpoint
+    improved = (lo.cost < p0.cost) | (hi.cost < p0.cost)
+    alpha = jnp.where(lo.cost < hi.cost, lo.alpha, hi.alpha)
+    alpha = jnp.where(improved, alpha, 0.0)
     return alpha, mv, jv
 
   def make_ctx(qacc):
@@ -412,7 +473,7 @@ def solve(m: Model, d: Data, fixed_iterations: bool = False) -> Data:
     )
 
   def body(ctx: _Context) -> _Context:
-    alpha, mv, jv = linesearch(ctx.qacc, ctx.Ma, ctx.Jaref, ctx.search)
+    alpha, mv, jv = linesearch(ctx.qacc, ctx.Ma, ctx.Jaref, ctx.search, ctx.gauss)
     qacc = ctx.qacc + alpha * ctx.search
     Ma = ctx.Ma + alpha * mv
     Jaref = ctx.Jaref + alpha * jv
