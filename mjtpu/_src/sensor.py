@@ -245,7 +245,15 @@ def _object_acceleration(m, d, objtype, ids, local):
   vel = jax.vmap(math.transform_motion)(d.cvel[b], pos - rc, rot)
   # add centripetal correction to linear part: w x v
   correction = jnp.cross(vel[:, :3], vel[:, 3:])
-  return acc.at[:, 3:].add(correction)
+  acc = acc.at[:, 3:].add(correction)
+  # objects in the WORLD's weld subtree read zero, even though their cacc
+  # carries the -gravity base (oracle-probed: a welded-to-world
+  # accelerometer reads 0 in C while cacc shows +g; a body welded to a
+  # moving body follows its cacc normally)
+  static = np.asarray(m.body_weldid)[b] == 0
+  if static.any():
+    acc = jnp.where(jnp.asarray(static)[:, None], 0.0, acc)
+  return acc
 
 
 def _frame_quat(m: Model, d: Data, objtype: int, ids: np.ndarray):

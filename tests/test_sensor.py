@@ -313,3 +313,43 @@ def test_insidesite():
     )
     hits += mjd.sensordata.sum()
   assert hits >= 5
+
+
+def test_accelerometer_static_body_zero():
+  """mj_objectAcceleration reads 0 for objects in the WORLD's weld subtree
+  even though cacc carries the -gravity base; a body welded to a MOVING
+  body follows cacc normally (oracle-probed against C 3.10)."""
+  xml = """<mujoco><worldbody>
+    <geom type="plane" size="5 5 .1"/>
+    <body name="ball" pos="0 0 0.09"><freejoint/><geom type="sphere" size="0.1"/>
+      <site name="imu_free"/>
+      <body name="rider" pos="0 0 0.1"><geom type="sphere" size="0.03"/>
+        <site name="imu_rider"/></body>
+    </body>
+    <body name="fixed" pos="1 0 1"><geom type="sphere" size="0.1"/>
+      <site name="imu_static"/></body>
+  </worldbody>
+  <sensor>
+    <accelerometer site="imu_free"/>
+    <accelerometer site="imu_rider"/>
+    <accelerometer site="imu_static"/>
+    <framelinacc objtype="site" objname="imu_static"/>
+  </sensor></mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  for _ in range(300):  # settle onto the plane
+    mujoco.mj_step(mjm, mjd)
+  mujoco.mj_forward(mjm, mjd)
+  m = mjtpu.put_model(mjm)
+  d = mjtpu.make_data(m)
+  d = d.replace(
+      qpos=jnp.asarray(np.array(mjd.qpos)), qvel=jnp.asarray(np.array(mjd.qvel))
+  )
+  d = mjtpu.forward(m, d)
+  np.testing.assert_allclose(
+      np.asarray(d.sensordata), mjd.sensordata, atol=1e-8
+  )
+  # sanity on the semantics themselves: resting free body reads +g,
+  # welded-to-world reads zero
+  assert abs(mjd.sensordata[2] - 9.81) < 1e-6
+  assert abs(np.asarray(d.sensordata)[8]) < 1e-12

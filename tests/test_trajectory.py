@@ -370,3 +370,29 @@ def test_humanoid_bench_truncated_iterate_parity():
         np.abs(np.asarray(d.qvel) - mjd.qvel).max(),
     )
     assert err < 1e-10, f"step {i}: err {err:.3e}"
+
+
+@pytest.mark.parametrize("name", ["ant_bench.xml", "hopper_bench.xml"])
+def test_trajectory_bench_models(name):
+  """The benchmark-equivalent ant (fixed base, self-collision, 20-sensor
+  suite) and hopper (Euler 5ms, unlimited joints) track C with random ctrl
+  — same structural sizes as the reference's benchmark models."""
+  mjm = mujoco.MjModel.from_xml_path(str(ZOO_ASSETS / name))
+  mjd = mujoco.MjData(mjm)
+  rng = np.random.default_rng(2)
+  mjd.qvel[:] = rng.uniform(-0.1, 0.1, mjm.nv)
+  m = mjtpu.put_model(mjm)
+  d = mjtpu.make_data(m)
+  d = d.replace(qvel=jnp.asarray(np.array(mjd.qvel)))
+  step = jax.jit(mjtpu.step)
+  for i in range(100):
+    c = rng.uniform(-1, 1, mjm.nu)
+    mjd.ctrl[:] = c
+    d = d.replace(ctrl=jnp.asarray(np.array(c)))
+    mujoco.mj_step(mjm, mjd)
+    d = step(m, d)
+    err = max(
+        np.abs(np.asarray(d.qpos) - mjd.qpos).max(),
+        np.abs(np.asarray(d.qvel) - mjd.qvel).max(),
+    )
+    assert err < 1e-7, f"{name} diverged at step {i}: {err:.3e}"
