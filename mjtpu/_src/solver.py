@@ -432,9 +432,20 @@ def solve(m: Model, d: Data, fixed_iterations: bool = False) -> Data:
       swap = s1 | s2 | s3 | s4 | s5 | s6
       return lo, hi, swap, i + 1
 
-    lo, hi, _, _ = jax.lax.while_loop(
-        ls_cond, ls_body, (lo, hi, ~early, jnp.zeros((), jnp.int32))
-    )
+    init = (lo, hi, ~early, jnp.zeros((), jnp.int32))
+    if fixed_iterations:
+      # diff / static-graph mode: while_loop has no transpose rule, so run
+      # the bracket search as a fori_loop with converged lanes frozen
+      def ls_masked(_, carry):
+        new = ls_body(carry)
+        cont = ls_cond(carry)
+        return jax.tree.map(lambda a, b: jnp.where(cont, b, a), carry, new)
+
+      lo, hi, _, _ = jax.lax.fori_loop(
+          0, m.opt.ls_iterations, ls_masked, init
+      )
+    else:
+      lo, hi, _, _ = jax.lax.while_loop(ls_cond, ls_body, init)
 
     # move only if improved; prefer the lower-cost endpoint
     improved = (lo.cost < p0.cost) | (hi.cost < p0.cost)
