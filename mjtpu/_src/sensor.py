@@ -256,6 +256,44 @@ def _object_acceleration(m, d, objtype, ids, local):
   return acc
 
 
+def _inside_site(m: Model, ids: np.ndarray, local: jax.Array) -> jax.Array:
+  """(S, ncon) bool: is each point (site-local coords) inside each site's
+  volume — the TOUCH sensor zone test (mju_insideGeom semantics).  Site
+  types are static; sizes are traced."""
+  from mjtpu._src.types import GeomType
+
+  stypes = np.asarray(m.site_type)[ids]
+  size = m.site_size[ids]  # (S, 3)
+  out = []
+  for k, st in enumerate(stypes):
+    p = local[k]                       # (ncon, 3)
+    s0, s1, s2 = size[k, 0], size[k, 1], size[k, 2]
+    st = GeomType(int(st))
+    if st == GeomType.SPHERE:
+      ins = jnp.sum(p * p, axis=1) <= s0 * s0
+    elif st == GeomType.CAPSULE:
+      z = jnp.clip(p[:, 2], -s1, s1)
+      dd = p[:, 0] ** 2 + p[:, 1] ** 2 + (p[:, 2] - z) ** 2
+      ins = dd <= s0 * s0
+    elif st == GeomType.ELLIPSOID:
+      q = p / jnp.stack([s0, s1, s2])
+      ins = jnp.sum(q * q, axis=1) <= 1.0
+    elif st == GeomType.CYLINDER:
+      ins = (jnp.abs(p[:, 2]) <= s1) & (
+          p[:, 0] ** 2 + p[:, 1] ** 2 <= s0 * s0
+      )
+    elif st == GeomType.BOX:
+      ins = (
+          (jnp.abs(p[:, 0]) <= s0)
+          & (jnp.abs(p[:, 1]) <= s1)
+          & (jnp.abs(p[:, 2]) <= s2)
+      )
+    else:
+      raise NotImplementedError(f"touch zone for site type {st}")
+    out.append(ins)
+  return jnp.stack(out)
+
+
 def _frame_quat(m: Model, d: Data, objtype: int, ids: np.ndarray):
   """Batched frame quaternions per object type (FRAMEQUAT semantics)."""
   objtype = ObjType(objtype)
@@ -612,8 +650,10 @@ def sensor_acc(m: Model, d: Data) -> Data:
           lambda r, pos: d.efc_force[r],
       )
     elif stype == SensorType.TOUCH:
-      # sum of contact normal forces on each site's body (zone test: contact
-      # point inside the site volume is approximated by body membership)
+      # sum of contact normal forces on each site's body, gated on the
+      # contact point lying INSIDE the site volume (C's zone test,
+      # oracle-probed: a box site covering one end of a capsule reads only
+      # that end's contact force)
       from mjtpu._src import collision_driver
 
       b = np.asarray(m.site_bodyid)[objid]
@@ -626,8 +666,14 @@ def sensor_acc(m: Model, d: Data) -> Data:
         b1 = bodyid[d.contact.geom1]
         b2 = bodyid[d.contact.geom2]
         bk = jnp.asarray(b)[:, None]
-        mask = ((b1[None, :] == bk) | (b2[None, :] == bk)).astype(sd.dtype)
-        val = mask @ forces
+        member = (b1[None, :] == bk) | (b2[None, :] == bk)  # (S, ncon)
+        # contact pos in each site's local frame: (S, ncon, 3)
+        rel = d.contact.pos[None, :, :] - d.site_xpos[objid][:, None, :]
+        local = jnp.einsum("sji,scj->sci", d.site_xmat[objid], rel)
+        inside = _inside_site(m, objid, local)
+        val = jnp.sum(
+            jnp.where(member & inside, forces[None, :], 0.0), axis=1
+        ).astype(sd.dtype)
     elif stype == SensorType.CONTACT:
       sd = _contact_sensor(m, d, sd, ids)
       continue  # writes directly: C applies NO cutoff to CONTACT

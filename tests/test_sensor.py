@@ -353,3 +353,37 @@ def test_accelerometer_static_body_zero():
   # welded-to-world reads zero
   assert abs(mjd.sensordata[2] - 9.81) < 1e-6
   assert abs(np.asarray(d.sensordata)[8]) < 1e-12
+
+
+def test_touch_zone_filtering():
+  """TOUCH sums only contacts whose point lies INSIDE the site volume
+  (C's zone test): a box site over one end of a resting capsule reads
+  that end's force; a whole-body box reads both; a sphere site over the
+  other end reads the other (oracle-probed semantics)."""
+  xml = """<mujoco><worldbody>
+    <geom type="plane" size="5 5 .1"/>
+    <body pos="0 0 0.099">
+      <freejoint/>
+      <geom type="capsule" fromto="-0.3 0 0 0.3 0 0" size="0.1"/>
+      <site name="s_end" type="box" pos="0.25 0 0" size="0.1 0.12 0.12"/>
+      <site name="s_all" type="box" pos="0 0 0" size="0.5 0.2 0.2"/>
+      <site name="s_sph" type="sphere" pos="-0.3 0 -0.05" size="0.08"/>
+    </body></worldbody>
+  <sensor><touch site="s_end"/><touch site="s_all"/><touch site="s_sph"/></sensor>
+  </mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  for _ in range(300):
+    mujoco.mj_step(mjm, mjd)
+  mujoco.mj_forward(mjm, mjd)
+  m = mjtpu.put_model(mjm)
+  d = mjtpu.make_data(m)
+  d = d.replace(
+      qpos=jnp.asarray(np.array(mjd.qpos)), qvel=jnp.asarray(np.array(mjd.qvel))
+  )
+  d = mjtpu.forward(m, d)
+  np.testing.assert_allclose(
+      np.asarray(d.sensordata), mjd.sensordata, rtol=1e-9, atol=1e-9
+  )
+  # semantics sanity: end reads half of all
+  assert abs(mjd.sensordata[0] * 2 - mjd.sensordata[1]) < 1e-6
