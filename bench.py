@@ -94,6 +94,10 @@ def _worker(result_path, deadline):
       os.path.join(_REPO, "mjtpu", "zoo", "assets", f"{model_name}.xml")
   )
   fill_hfields(mjm)
+  cone = os.environ.get("MJTPU_BENCH_CONE", "")
+  if cone:  # e.g. "elliptic": exercise the cone-projected solver path
+    mjm.opt.cone = {"pyramidal": 0, "elliptic": 1}[cone]
+    model_name = f"{model_name}_{cone}"
   m = mjtpu.put_model(mjm, dtype=jnp.float32)
   d0 = mjtpu.make_data(m)
 
