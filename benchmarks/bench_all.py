@@ -145,8 +145,10 @@ def bench_mjx(model_name: str, batch: int, nsteps: int, nwarm: int) -> dict:
 def main():
   ap = argparse.ArgumentParser()
   ap.add_argument("--models", nargs="+",
-                  default=["humanoid", "ant", "halfcheetah", "hopper"])
-  ap.add_argument("--batches", nargs="+", type=int, default=[1024, 4096, 8192])
+                  default=["humanoid_bench", "ant_bench", "halfcheetah",
+                           "hopper_bench", "walker2d"])
+  ap.add_argument("--batches", nargs="+", type=int,
+                  default=[4096, 32768, 131072])
   ap.add_argument("--steps", type=int, default=500)
   ap.add_argument("--warmup", type=int, default=50)
   ap.add_argument("--engines", nargs="+", default=["mjtpu"],
