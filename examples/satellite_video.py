@@ -45,8 +45,15 @@ def record(env_name: str, out: Path, steps: int, size: int, fps: int = 25):
     state = step(state, action)
     img = np.asarray(state.pixels)
     frames.append((np.clip(img, 0, 1) * 255).astype(np.uint8))
-  imageio.mimsave(out, frames, fps=fps)
-  print(f"{env_name}: wrote {len(frames)} frames -> {out}")
+  try:
+    imageio.mimsave(out, frames, fps=fps)
+    print(f"{env_name}: wrote {len(frames)} frames -> {out}")
+  except (ValueError, ImportError):
+    # no mp4 backend (imageio without ffmpeg/pyav): fall back to a frame
+    # stack that `imageio.mimsave` or any viewer can convert later
+    alt = out.with_suffix(".npz")
+    np.savez_compressed(alt, frames=np.stack(frames), fps=fps)
+    print(f"{env_name}: no mp4 backend; wrote {len(frames)} frames -> {alt}")
 
 
 def main():
