@@ -36,8 +36,10 @@ from mjtpu._src.types import (
 )
 
 # maximum contact points each narrowphase pair function emits, keyed by
-# (GeomType, GeomType) with type1 <= type2 (the 12 supported pair functions,
-# reference collision_driver.py:106-125)
+# (GeomType, GeomType) with type1 <= type2.  Superset of the reference's 12
+# pair functions (collision_driver.py:106-125): plane/sphere-cylinder and
+# plane-ellipsoid are analytic extras, and all remaining cylinder/ellipsoid
+# pairs route through the convex SAT path on trace-time hulls.
 _PAIR_NCON: dict[tuple[int, int], int] = {
     (GeomType.PLANE, GeomType.SPHERE): 1,
     (GeomType.PLANE, GeomType.CAPSULE): 2,
@@ -49,14 +51,26 @@ _PAIR_NCON: dict[tuple[int, int], int] = {
     (GeomType.HFIELD, GeomType.CAPSULE): 4,
     (GeomType.HFIELD, GeomType.BOX): 4,
     (GeomType.HFIELD, GeomType.MESH): 4,
+    (GeomType.HFIELD, GeomType.ELLIPSOID): 4,
+    (GeomType.HFIELD, GeomType.CYLINDER): 4,
     (GeomType.SPHERE, GeomType.SPHERE): 1,
     (GeomType.SPHERE, GeomType.CAPSULE): 1,
+    (GeomType.SPHERE, GeomType.ELLIPSOID): 1,
     (GeomType.SPHERE, GeomType.CYLINDER): 1,
     (GeomType.SPHERE, GeomType.BOX): 1,
     (GeomType.SPHERE, GeomType.MESH): 1,
     (GeomType.CAPSULE, GeomType.CAPSULE): 1,
+    (GeomType.CAPSULE, GeomType.ELLIPSOID): 2,
+    (GeomType.CAPSULE, GeomType.CYLINDER): 2,
     (GeomType.CAPSULE, GeomType.BOX): 2,
     (GeomType.CAPSULE, GeomType.MESH): 2,
+    (GeomType.ELLIPSOID, GeomType.ELLIPSOID): 4,
+    (GeomType.ELLIPSOID, GeomType.CYLINDER): 4,
+    (GeomType.ELLIPSOID, GeomType.BOX): 4,
+    (GeomType.ELLIPSOID, GeomType.MESH): 4,
+    (GeomType.CYLINDER, GeomType.CYLINDER): 4,
+    (GeomType.CYLINDER, GeomType.BOX): 4,
+    (GeomType.CYLINDER, GeomType.MESH): 4,
     (GeomType.BOX, GeomType.BOX): 4,
     (GeomType.BOX, GeomType.MESH): 4,
     (GeomType.MESH, GeomType.MESH): 4,
@@ -132,7 +146,9 @@ def _shape_key(m: Model, g: int):
   t = int(m.geom_type[g])
   if t in (GeomType.MESH, GeomType.HFIELD):
     return int(m.geom_dataid[g])
-  if t == GeomType.BOX:
+  if t in (GeomType.BOX, GeomType.CYLINDER, GeomType.ELLIPSOID):
+    # cylinder/ellipsoid hulls are built from the size (mesh.cylinder/
+    # ellipsoid), so like boxes they group by exact size
     return tuple(np.round(m.geom_size_np[g], 12))
   return -1
 
@@ -349,6 +365,10 @@ def _collision_fn(m: Model, key: tuple, pairs: list[tuple[int, int, int]]) -> Ca
 
     if t == GeomType.BOX:
       return mesh_mod.box(np.array(s))
+    if t == GeomType.CYLINDER:
+      return mesh_mod.cylinder(np.array(s))
+    if t == GeomType.ELLIPSOID:
+      return mesh_mod.ellipsoid(np.array(s))
     if t == GeomType.MESH:
       return m.mesh_convex[s]
     return None
@@ -408,6 +428,21 @@ def _collision_fn(m: Model, key: tuple, pairs: list[tuple[int, int, int]]) -> Ca
           collision_convex.convex_convex, hull1=hull(t1, s1), hull2=hull(t2, s2)
       ),
   }
+  # round geoms (cylinder/ellipsoid) against anything not covered above route
+  # through the convex SAT path on trace-time hulls (mesh.cylinder/ellipsoid)
+  # — capability-plus over the reference (its README excludes these types;
+  # SURVEY.md §2.6) and the same meshification MJX applies.
+  round_types = (int(GeomType.ELLIPSOID), int(GeomType.CYLINDER))
+  if (t1, t2) not in table and (t1 in round_types or t2 in round_types):
+    if t1 == GeomType.HFIELD:
+      return functools.partial(
+          collision_hfield.hfield_convex, m=m, hid=s1, hull2=hull(t2, s2))
+    if t1 == GeomType.SPHERE:
+      return functools.partial(collision_convex.sphere_convex, hull2=hull(t2, s2))
+    if t1 == GeomType.CAPSULE:
+      return functools.partial(collision_convex.capsule_convex, hull2=hull(t2, s2))
+    return functools.partial(
+        collision_convex.convex_convex, hull1=hull(t1, s1), hull2=hull(t2, s2))
   return table[(t1, t2)]()
 
 

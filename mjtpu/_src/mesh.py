@@ -118,6 +118,40 @@ def hfield_prism(verts: np.ndarray) -> types.ConvexMesh:
   return convex(np.asarray(verts, dtype=np.float64))
 
 
+def cylinder(size: np.ndarray, nseg: int = 16) -> types.ConvexMesh:
+  """Discretized cylinder hull: radius size[0], half-height size[1].
+
+  Non-plane/sphere cylinder collisions route through the convex SAT path on
+  a trace-time hull (the same approach MJX takes; MuJoCo C uses MPR).  The
+  hull is inscribed, so contact depth is shallower than the true surface by
+  at most r*(1-cos(pi/nseg)) (~1.9% of r at nseg=16).
+  """
+  ang = np.arange(nseg) * (2.0 * np.pi / nseg)
+  ring = np.stack([np.cos(ang), np.sin(ang)], axis=-1) * float(size[0])
+  h = float(size[1])
+  pts = np.concatenate([
+      np.concatenate([ring, np.full((nseg, 1), -h)], axis=-1),
+      np.concatenate([ring, np.full((nseg, 1), h)], axis=-1),
+  ])
+  return convex(pts)
+
+
+def ellipsoid(size: np.ndarray, nvert: int = 32) -> types.ConvexMesh:
+  """Discretized ellipsoid hull: Fibonacci sphere scaled by the radii.
+
+  Same inscribed-hull caveat as cylinder(); all hull faces are triangles.
+  """
+  i = np.arange(nvert)
+  phi = np.arccos(1.0 - 2.0 * (i + 0.5) / nvert)
+  theta = np.pi * (1.0 + np.sqrt(5.0)) * i
+  pts = np.stack([
+      np.sin(phi) * np.cos(theta),
+      np.sin(phi) * np.sin(theta),
+      np.cos(phi),
+  ], axis=-1)
+  return convex(pts * np.asarray(size, dtype=np.float64))
+
+
 def get(m: "mujoco.MjModel") -> tuple:
   """Per-mesh ConvexMesh tuple for all meshes referenced by colliding geoms.
 
