@@ -178,6 +178,14 @@ def capsule_convex(pos1, mat1, size1, pos2, mat2, size2, hull2: ConvexMesh):
   sep_edge = seg_min - hull_max - r
   sep_edge = jnp.where(cross_n < 1e-9, -jnp.inf, sep_edge)
   be = jnp.argmax(sep_edge)
+  # parallel hull edges (e.g. a meshified cylinder's vertical edges) tie on
+  # the cross axis; argmax picks an arbitrary one, but the contact must use
+  # the SUPPORT edge along the winning axis or d_edge is computed to the
+  # wrong edge.  Re-select among (near-)parallel-axis edges by support.
+  n_best = cross[be]
+  compat = jnp.einsum("ed,d->e", cross, n_best) > 1.0 - 1e-6
+  support = jnp.einsum("ed,d->e", 0.5 * (edge_v[:, 0] + edge_v[:, 1]), n_best)
+  be = jnp.argmax(jnp.where(compat, support, -jnp.inf))
 
   use_edge = sep_edge[be] > sep_face[bf] + _EDGE_TOL
 
@@ -329,6 +337,17 @@ def convex_convex(
   be = jnp.argmax(sep_e_flat)
   best_edge_sep = sep_e_flat[be]
   be1, be2 = be // sep_e.shape[1], be % sep_e.shape[1]
+  # parallel edges (meshified cylinders, prisms) tie on the cross axis;
+  # re-select the SUPPORTING pair along the winning axis so the closest-point
+  # construction below uses the edges that actually realize the separation.
+  ax = axes[be1, be2]
+  compat = jnp.einsum("efd,d->ef", axes, ax) > 1.0 - 1e-6
+  mid1 = 0.5 * (e1a + e1b)  # (ne1, 3)
+  mid2 = 0.5 * (e2a + e2b)  # (ne2, 3)
+  pair_score = (mid1 @ ax)[:, None] - (mid2 @ ax)[None, :]
+  pair_score = jnp.where(compat, pair_score, -jnp.inf)
+  bp = jnp.argmax(pair_score.reshape(-1))
+  be1, be2 = bp // sep_e.shape[1], bp % sep_e.shape[1]
 
   best_face_sep = jnp.maximum(sep1[bf1], sep2[bf2])
   use_edge = best_edge_sep > best_face_sep + _EDGE_TOL

@@ -22,7 +22,7 @@ import mjtpu
 SCENES = {
     "capsule_cylinder": """<mujoco><worldbody>
       <geom type="cylinder" size="0.1 0.15"/>
-      <body pos="0.18 0 0.02" euler="90 0 0"><freejoint/>
+      <body pos="0.165 0 0.02" euler="90 0 0"><freejoint/>
         <geom type="capsule" size="0.08 0.15"/></body>
       </worldbody></mujoco>""",
     "capsule_ellipsoid": """<mujoco><worldbody>
@@ -126,9 +126,11 @@ def test_round_pair_separated(name):
   mjm = mujoco.MjModel.from_xml_string(SCENES[name])
   m = mjtpu.put_model(mjm)
   d = mjtpu.make_data(m)
+  import jax.numpy as jnp
+
   qpos = np.array(d.qpos)
   qpos[2] += 5.0  # free-body z
-  d = d.replace(qpos=qpos)
+  d = d.replace(qpos=jnp.asarray(qpos, dtype=d.qpos.dtype))
   d = mjtpu.fwd_position(m, d)
   dist = np.asarray(d.contact.dist)
   assert (dist > 0).all(), f"{name}: phantom contact when separated"
