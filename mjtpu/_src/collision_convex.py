@@ -182,12 +182,20 @@ def capsule_convex(pos1, mat1, size1, pos2, mat2, size2, hull2: ConvexMesh):
   # the cross axis; argmax picks an arbitrary one, but the contact must use
   # the SUPPORT edge along the winning axis or d_edge is computed to the
   # wrong edge.  Re-select among (near-)parallel-axis edges by support.
+  # capture the winning separation BEFORE the support reselect: the reselect
+  # may land on a degenerate-axis edge whose sep_edge is the -inf sentinel,
+  # which would silently flip use_edge to the face case.
+  best_edge_sep = sep_edge[be]
   n_best = cross[be]
   compat = jnp.einsum("ed,d->e", cross, n_best) > 1.0 - 1e-6
+  # exclude degenerate axes (cross_n below the validity floor): a
+  # near-degenerate axis normalizes to a noise-directed unit vector that can
+  # pass the compat test and win the support reselect.
+  compat = compat & (cross_n >= 1e-9)
   support = jnp.einsum("ed,d->e", 0.5 * (edge_v[:, 0] + edge_v[:, 1]), n_best)
   be = jnp.argmax(jnp.where(compat, support, -jnp.inf))
 
-  use_edge = sep_edge[be] > sep_face[bf] + _EDGE_TOL
+  use_edge = best_edge_sep > sep_face[bf] + _EDGE_TOL
 
   # --- edge contact: closest points between segment and the winning edge ---
   pa, pb = math.closest_segment_to_segment_points(
@@ -219,7 +227,7 @@ def capsule_convex(pos1, mat1, size1, pos2, mat2, size2, hull2: ConvexMesh):
   t_hi = jnp.where(degenerate, t_mid, jnp.clip(t_hi, 0.0, 1.0))
 
   k = _smooth_k()
-  s_edge = sep_edge[be] - sep_face[bf]  # > 0 -> edge case wins
+  s_edge = best_edge_sep - sep_face[bf]  # > 0 -> edge case wins
   dists, poss, frames = [], [], []
   for idx, t in enumerate((t_lo, t_hi)):
     p_seg = a + t * ab
@@ -342,6 +350,10 @@ def convex_convex(
   # construction below uses the edges that actually realize the separation.
   ax = axes[be1, be2]
   compat = jnp.einsum("efd,d->ef", axes, ax) > 1.0 - 1e-6
+  # exclude degenerate pairs (parallel edges): their noise-directed
+  # normalized cross can align with the winning axis and route the
+  # closest-point construction through the wrong edges.
+  compat = compat & (axes_n >= 1e-6)
   mid1 = 0.5 * (e1a + e1b)  # (ne1, 3)
   mid2 = 0.5 * (e2a + e2b)  # (ne2, 3)
   pair_score = (mid1 @ ax)[:, None] - (mid2 @ ax)[None, :]
