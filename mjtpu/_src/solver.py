@@ -29,15 +29,23 @@ from mjtpu.ops import fused
 
 
 class _Context(NamedTuple):
+  """Solver iterate.  The preconditioned gradient (Newton Hessian solve /
+  CG M-solve) is NOT part of the state: it is computed at the START of each
+  body iteration from (grad, quad, Jaref), so the expensive solve runs
+  exactly `niter` times — the reference computes it for both warmstart
+  candidates and again after the final accepted step (iterations+2 solves),
+  all on states whose search direction is never used."""
+
   qacc: jax.Array       # (nv,)
   Ma: jax.Array         # (nv,) M @ qacc
   Jaref: jax.Array      # (nefc,) J @ qacc - aref
   efc_force: jax.Array  # (nefc,)
   cost: jax.Array       # ()
-  prev_cost: jax.Array  # ()
   grad: jax.Array       # (nv,)
-  Mgrad: jax.Array      # (nv,)
-  search: jax.Array     # (nv,)
+  quad: jax.Array       # (nefc,) bool: row cost locally quadratic
+  Mgrad: jax.Array      # (nv,) previous iteration's Mgrad (CG beta)
+  search: jax.Array     # (nv,) previous iteration's search (CG beta)
+  gMg: jax.Array        # () dot(prev grad, prev Mgrad) (CG beta denominator)
   gauss: jax.Array      # ()
   niter: jax.Array      # () int
   done: jax.Array       # () bool
@@ -308,8 +316,11 @@ def solve(m: Model, d: Data, fixed_iterations: bool = False) -> Data:
     gauss = 0.5 * jnp.dot(Ma - qfrc_smooth, qacc - qacc_smooth)
     return force, gauss + cost_c, gauss, quad
 
-  def update_gradient(Ma, force, quad, Jaref):
-    grad = Ma - qfrc_smooth - efc_J.T @ force
+  def gradient(Ma, force):
+    g = Ma - qfrc_smooth
+    return g - efc_J.T @ force if nefc else g
+
+  def precond_grad(grad, quad, Jaref):
     if newton:
       h = d.qM + (efc_J.T * (efc_D * quad)) @ efc_J
       if dtype != jnp.float64:
@@ -353,7 +364,7 @@ def solve(m: Model, d: Data, fixed_iterations: bool = False) -> Data:
       mgrad = fused.chol_solve(h, grad)
     else:
       mgrad = smooth.solve_m(m, d, grad)
-    return grad, mgrad
+    return mgrad
 
   def linesearch(qacc, Ma, Jaref, search, gauss):
     """MuJoCo C's exact 3-point lo/hi bracket-swap linesearch (matches the
@@ -453,39 +464,59 @@ def solve(m: Model, d: Data, fixed_iterations: bool = False) -> Data:
     alpha = jnp.where(improved, alpha, 0.0)
     return alpha, mv, jv
 
-  def make_ctx(qacc):
+  def make_state(qacc):
+    """(qacc, Ma, Jaref, force, cost, gauss, quad) — no gradient solve."""
     Ma = d.qM @ qacc
     Jaref = efc_J @ qacc - efc_aref if nefc else jnp.zeros(0, dtype)
     force, cost, gauss, quad = update_constraint(qacc, Ma, Jaref)
-    grad, mgrad = update_gradient(Ma, force, quad, Jaref)
+    return qacc, Ma, Jaref, force, cost, gauss, quad
+
+  def make_ctx(state):
+    qacc, Ma, Jaref, force, cost, gauss, quad = state
     return _Context(
         qacc=qacc,
         Ma=Ma,
         Jaref=Jaref,
         efc_force=force,
         cost=cost,
-        prev_cost=jnp.asarray(jnp.inf, dtype),
-        grad=grad,
-        Mgrad=mgrad,
-        search=-mgrad,
+        grad=gradient(Ma, force),
+        quad=quad,
+        Mgrad=jnp.zeros(m.nv, dtype),
+        search=jnp.zeros(m.nv, dtype),
+        gMg=jnp.asarray(jnp.inf, dtype),  # beta = x/inf = 0 on iteration 0
         gauss=gauss,
         niter=jnp.zeros((), jnp.int32),
         done=jnp.zeros((), bool),
     )
 
-  # warmstart: take the better of qacc_warmstart and qacc_smooth
+  # warmstart: take the better of qacc_warmstart and qacc_smooth.  Only
+  # costs are compared, so neither candidate needs a gradient solve; the
+  # single gradient of the winner is computed in make_ctx.
   if m.opt.disableflags & DisableBit.WARMSTART:
-    ctx = make_ctx(qacc_smooth)
+    ctx = make_ctx(make_state(qacc_smooth))
   else:
-    ctx_w = make_ctx(d.qacc_warmstart)
-    ctx_s = make_ctx(qacc_smooth)
-    ctx = jax.tree.map(
-        lambda a, b: jnp.where(ctx_w.cost < ctx_s.cost, a, b), ctx_w, ctx_s
-    )
+    st_w = make_state(d.qacc_warmstart)
+    st_s = make_state(qacc_smooth)
+    ctx = make_ctx(jax.tree.map(
+        lambda a, b: jnp.where(st_w[4] < st_s[4], a, b), st_w, st_s
+    ))
 
   def body(ctx: _Context) -> _Context:
-    alpha, mv, jv = linesearch(ctx.qacc, ctx.Ma, ctx.Jaref, ctx.search, ctx.gauss)
-    qacc = ctx.qacc + alpha * ctx.search
+    # the expensive preconditioned gradient (Newton: cone Hessian assembly +
+    # Cholesky; CG: M-solve) runs HERE, once per accepted iteration
+    mgrad = precond_grad(ctx.grad, ctx.quad, ctx.Jaref)
+    if newton:
+      search = -mgrad
+    else:
+      beta = jnp.dot(ctx.grad, mgrad - ctx.Mgrad) / jnp.maximum(
+          math.MINVAL, ctx.gMg
+      )
+      beta = jnp.maximum(0.0, beta)
+      search = -mgrad + beta * ctx.search
+    gMg = jnp.dot(ctx.grad, mgrad)
+
+    alpha, mv, jv = linesearch(ctx.qacc, ctx.Ma, ctx.Jaref, search, ctx.gauss)
+    qacc = ctx.qacc + alpha * search
     Ma = ctx.Ma + alpha * mv
     Jaref = ctx.Jaref + alpha * jv
     force, cost, gauss, quad = update_constraint(qacc, Ma, Jaref)
@@ -496,20 +527,12 @@ def solve(m: Model, d: Data, fixed_iterations: bool = False) -> Data:
     Jaref = jnp.where(worse, ctx.Jaref, Jaref)
     force = jnp.where(worse, ctx.efc_force, force)
     cost = jnp.where(worse, ctx.cost, cost)
-    grad, mgrad = update_gradient(Ma, force, quad, Jaref)
-
-    if newton:
-      search = -mgrad
-    else:
-      beta = jnp.dot(grad, mgrad - ctx.Mgrad) / jnp.maximum(
-          math.MINVAL, jnp.dot(ctx.grad, ctx.Mgrad)
-      )
-      beta = jnp.maximum(0.0, beta)
-      search = -mgrad + beta * ctx.search
+    quad = jnp.where(worse, ctx.quad, quad)
+    grad = gradient(Ma, force)
 
     improvement = _rescale(m, ctx.cost - cost)
-    gradient = _rescale(m, math.safe_norm(grad))
-    done = ctx.done | (improvement < m.opt.tolerance) | (gradient < m.opt.tolerance)
+    gradnorm = _rescale(m, math.safe_norm(grad))
+    done = ctx.done | (improvement < m.opt.tolerance) | (gradnorm < m.opt.tolerance)
 
     new = _Context(
         qacc=qacc,
@@ -517,10 +540,11 @@ def solve(m: Model, d: Data, fixed_iterations: bool = False) -> Data:
         Jaref=Jaref,
         efc_force=force,
         cost=cost,
-        prev_cost=ctx.cost,
         grad=grad,
+        quad=quad,
         Mgrad=mgrad,
         search=search,
+        gMg=gMg,
         gauss=gauss,
         niter=ctx.niter + 1,
         done=done,
