@@ -378,6 +378,7 @@ def make_data(m: Model, dtype=None) -> Data:
       cfrc_ext=zero(nbody, 6),
       sensordata=zero(m.nsensordata),
       energy=zero(2),
+      solver_niter=zero_i(),
   )
 
 
@@ -447,14 +448,56 @@ def get_data_into(result, m: Model, d: Data) -> None:
   if result.qM.shape == np.asarray(d.qM).shape:
     result.qM[...] = np.asarray(d.qM)
 
-  # contacts: write back detected rows (dist < margin+gap, like C's
-  # d->contact; gap-band rows get exclude=1), reallocating mjData's
-  # contact/efc arrays (reference device.py:1119-1206)
+  # solver diagnostics (C keeps per-island stats; we report island 0)
+  if hasattr(result, "solver_niter") and result.solver_niter.size:
+    result.solver_niter[0] = int(np.asarray(d.solver_niter))
+
+  # contacts + efc rows: compact the static-layout rows down to C's
+  # dynamic layout — d->contact keeps every detected contact (dist <
+  # margin+gap; gap-band rows get exclude=1), efc keeps only live rows,
+  # reallocating mjData's arena (reference device_get_into,
+  # device.py:1119-1206, where torch rows are already dynamic)
+  ne_s, nf_s, nl_s, ncon_s, nefc_s = support.constraint_sizes(m)
+  nc_start = ne_s + nf_s + nl_s
   dist = np.asarray(d.contact.dist)
   im = np.asarray(d.contact.includemargin)
+  addr = np.asarray(d.contact.efc_address)
+  dim = np.asarray(d.contact.dim)
   active = np.nonzero(dist < np.asarray(d.contact.margin))[0]
+
+  # live efc rows: non-contact rows with a nonzero J row (equality rows
+  # zero themselves when eq_active is off, limit rows when not violated;
+  # friction rows are always live), contact rows when dist < includemargin
+  efc_J = np.asarray(d.efc_J, dtype=np.float64)
+  live = np.zeros(nefc_s, bool)
+  if nefc_s:
+    live[:nc_start] = np.abs(efc_J[:nc_start]).max(axis=1) > 0
+    # C keeps every row of an active equality even when a J row is
+    # identically zero (e.g. a connect axis no dof can move), so gate the
+    # eq block on eq_active rather than J
+    if ne_s:
+      live[:ne_s] = np.repeat(
+          np.asarray(d.eq_active, bool),
+          [support._EQ_ROWS[int(t)] for t in m.eq_type],
+      )
+    live[ne_s : ne_s + nf_s] = True
+  pyramidal = m.opt.cone == ConeType.PYRAMIDAL
+  rows_of = lambda dm: 1 if dm == 1 else (2 * (dm - 1) if pyramidal else dm)
+  for i in range(len(dist)):
+    if dist[i] < im[i]:
+      live[addr[i] : addr[i] + rows_of(int(dim[i]))] = True
+  new_index = np.cumsum(live) - 1  # static row -> compacted row
+  nefc_live = int(live.sum())
+
   try:
-    mujoco._functions._realloc_con_efc(result, ncon=len(active), nefc=0)
+    mujoco._functions._realloc_con_efc(
+        result, ncon=len(active), nefc=nefc_live, nJ=nefc_live * m.nv
+    )
+  except Exception as e:  # pylint: disable=broad-except
+    warnings.warn(f"get_data_into: contact/efc realloc failed: {e!r}")
+    return
+
+  try:
     for k, i in enumerate(active):
       c = result.contact
       c.exclude[k] = int(dist[i] >= im[i])
@@ -465,13 +508,45 @@ def get_data_into(result, m: Model, d: Data) -> None:
       c.friction[k] = np.asarray(d.contact.friction)[i]
       c.solref[k] = np.asarray(d.contact.solref)[i]
       c.solimp[k] = np.asarray(d.contact.solimp)[i]
-      c.dim[k] = int(np.asarray(d.contact.dim)[i])
+      c.dim[k] = int(dim[i])
       c.geom1[k] = int(np.asarray(d.contact.geom1)[i])
       c.geom2[k] = int(np.asarray(d.contact.geom2)[i])
       c.geom[k] = np.asarray(d.contact.geom)[i]
-      c.efc_address[k] = int(np.asarray(d.contact.efc_address)[i])
-  except Exception:
-    pass  # viewer still works without the contact list
+      # point at the row's position in the compacted efc arrays;
+      # gap-band contacts contribute no rows (C uses -1 there)
+      c.efc_address[k] = (
+          int(new_index[addr[i]]) if dist[i] < im[i] else -1
+      )
+  except Exception as e:  # pylint: disable=broad-except
+    warnings.warn(f"get_data_into: contact write-back failed: {e!r}")
+
+  if not nefc_live:
+    return
+  try:
+    efc_type, efc_id = support.efc_row_meta(m)
+    # contact rows' efc_id indexes d->contact, which was just compacted
+    con_rows = efc_type >= int(mujoco.mjtConstraint.mjCNSTR_CONTACT_FRICTIONLESS)
+    id_remap = np.full(len(dist), -1, np.int32)
+    id_remap[active] = np.arange(len(active), dtype=np.int32)
+    efc_id = efc_id.copy()
+    efc_id[con_rows] = id_remap[efc_id[con_rows]]
+    result.ne = int(live[:ne_s].sum())
+    result.nf = int(live[ne_s : ne_s + nf_s].sum())
+    result.nl = int(live[nc_start - nl_s : nc_start].sum())
+    result.efc_type[:] = efc_type[live]
+    result.efc_id[:] = efc_id[live]
+    for name in (
+        "efc_pos", "efc_margin", "efc_frictionloss", "efc_D", "efc_aref",
+        "efc_force",
+    ):
+      getattr(result, name)[:] = np.asarray(getattr(d, name), np.float64)[live]
+    # dense rows in mjData's sparse storage
+    result.efc_J[:] = efc_J[live].reshape(-1)
+    result.efc_J_rownnz[:] = m.nv
+    result.efc_J_rowadr[:] = np.arange(nefc_live) * m.nv
+    result.efc_J_colind[:] = np.tile(np.arange(m.nv), nefc_live)
+  except Exception as e:  # pylint: disable=broad-except
+    warnings.warn(f"get_data_into: efc write-back failed: {e!r}")
 
 
 device_get_into = get_data_into

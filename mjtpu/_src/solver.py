@@ -567,4 +567,5 @@ def solve(m: Model, d: Data, fixed_iterations: bool = False) -> Data:
       qacc_warmstart=ctx.qacc,
       qfrc_constraint=qfrc_constraint,
       efc_force=ctx.efc_force,
+      solver_niter=ctx.niter,
   )

@@ -13,6 +13,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import mujoco
 import numpy as np
 
 from mjtpu._src import math
@@ -103,6 +104,77 @@ def constraint_sizes(m: Model) -> tuple[int, int, int, int, int]:
 
   ne, nf, nl, nefc = count_constraints(m)
   return ne, nf, nl, collision_driver.ncon(m), nefc
+
+
+_EQ_ROWS = {
+    int(EqType.CONNECT): 3,
+    int(EqType.WELD): 6,
+    int(EqType.JOINT): 1,
+    int(EqType.TENDON): 1,
+}
+
+
+def efc_row_meta(m: Model) -> tuple[np.ndarray, np.ndarray]:
+  """Static (efc_type, efc_id) labels for every row of the fixed efc layout
+  (mjtConstraint values / constraint ids, same order as constraint.py's
+  assembly: equality, friction, limits, contacts).  Used by get_data_into
+  to reconstruct MjData's efc_type/efc_id (reference device_get_into,
+  device.py:1160-1206, gets them for free from torch's dynamic rows)."""
+  from mjtpu._src import collision_driver
+
+  ne, nf, nl, nefc = count_constraints(m)
+  types = np.zeros(nefc, np.int32)
+  ids = np.zeros(nefc, np.int32)
+  r = 0
+
+  if ne:
+    for e, t in enumerate(np.asarray(m.eq_type)):
+      n = _EQ_ROWS[int(t)]
+      types[r : r + n] = int(mujoco.mjtConstraint.mjCNSTR_EQUALITY)
+      ids[r : r + n] = e
+      r += n
+  assert r == ne, (r, ne)
+
+  if nf:
+    for dof in np.asarray(m.friction_dofid):
+      types[r] = int(mujoco.mjtConstraint.mjCNSTR_FRICTION_DOF)
+      ids[r] = dof
+      r += 1
+    for ten in np.asarray(m.friction_tenid):
+      types[r] = int(mujoco.mjtConstraint.mjCNSTR_FRICTION_TENDON)
+      ids[r] = ten
+      r += 1
+  assert r == ne + nf, (r, ne, nf)
+
+  if nl:
+    jt = np.asarray(m.jnt_type)
+    two = np.asarray(m.jnt_limit_two_sided).astype(bool)
+    for j in np.nonzero(np.asarray(m.jnt_limited))[0]:
+      scalar = jt[j] in (int(JointType.SLIDE), int(JointType.HINGE))
+      n = 2 if (scalar and two[j]) else 1
+      types[r : r + n] = int(mujoco.mjtConstraint.mjCNSTR_LIMIT_JOINT)
+      ids[r : r + n] = j
+      r += n
+    per = tendon_limit_rows_per(m)
+    for ten in np.nonzero(np.asarray(m.tendon_limited))[0]:
+      types[r : r + per] = int(mujoco.mjtConstraint.mjCNSTR_LIMIT_TENDON)
+      ids[r : r + per] = ten
+      r += per
+  assert r == ne + nf + nl, (r, ne, nf, nl)
+
+  dims = collision_driver.make_condim(m)
+  addr = collision_driver.contact_efc_address(m, ne, nf, nl)
+  pyramidal = m.opt.cone == ConeType.PYRAMIDAL
+  for c, (a, dim) in enumerate(zip(addr, dims)):
+    if dim == 1:
+      t, n = int(mujoco.mjtConstraint.mjCNSTR_CONTACT_FRICTIONLESS), 1
+    elif pyramidal:
+      t, n = int(mujoco.mjtConstraint.mjCNSTR_CONTACT_PYRAMIDAL), 2 * (dim - 1)
+    else:
+      t, n = int(mujoco.mjtConstraint.mjCNSTR_CONTACT_ELLIPTIC), dim
+    types[a : a + n] = t
+    ids[a : a + n] = c
+  return types, ids
 
 
 def is_sparse(m: Model) -> bool:

@@ -757,3 +757,5 @@ class Data:
   # diagnostics: [potential, kinetic], filled when EnableBit.ENERGY is set
   # or an E_POTENTIAL/E_KINETIC sensor runs (mj_energyPos/mj_energyVel)
   energy: jax.Array
+  # solver iterations taken (int32 scalar; C's solver_niter[0])
+  solver_niter: jax.Array

@@ -10,6 +10,8 @@ appear in consumers — RL gradient reductions, metric means — and ride ICI.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -49,13 +51,14 @@ def sharded_step(m: Model, mesh: Mesh, axis: str = "env"):
   """jit(vmap(step)) with env-sharded in/out: the multi-chip physics step.
 
   Returns a compiled callable batch -> batch.  Constraint solving, collision
-  and integration all stay chip-local; XLA inserts no collectives.
+  and integration all stay chip-local; XLA inserts no collectives.  The
+  input batch is donated — in-place stepping halves peak HBM at large B.
   """
   import mjtpu
 
   data_sh = env_sharding(mesh, axis)
 
-  @jax.jit
+  @functools.partial(jax.jit, donate_argnums=0)
   def step_fn(batch: Data) -> Data:
     out = jax.vmap(mjtpu.step, in_axes=(None, 0))(m, batch)
     return jax.lax.with_sharding_constraint(out, data_sh)

@@ -27,6 +27,67 @@ def test_get_data_into_roundtrip():
   assert (out.contact.dist[: out.ncon] < 0.01).all()
 
 
+def _dense_j(out, nv):
+  """Reconstruct dense efc_J from an MjData (sparse or dense storage)."""
+  if out.efc_J.size == out.nefc * nv:  # dense layout (mj_isSparse false),
+    return out.efc_J.reshape(out.nefc, nv)  # or our packed full-rows write
+  j = np.zeros((out.nefc, nv))
+  for r in range(out.nefc):
+    nnz, adr = out.efc_J_rownnz[r], out.efc_J_rowadr[r]
+    j[r, out.efc_J_colind[adr : adr + nnz]] = out.efc_J[adr : adr + nnz]
+  return j
+
+
+@pytest.mark.parametrize("name", ["spheres.xml", "elliptic.xml", "equality.xml"])
+def test_get_data_into_efc(name):
+  """efc rows written back into MjData match C's own rows after stepping
+  both engines in lockstep (reference device_get_into writes nefc + efc
+  arrays, device.py:1119-1206).  Contact rows are compared as order-free
+  aggregates (contact ordering differs between the engines)."""
+  mjm = load_mj(name)
+  mjd = mujoco.MjData(mjm)
+  rng = np.random.default_rng(2)
+  mjd.qpos[:] = mjm.qpos0 + rng.uniform(-0.05, 0.05, mjm.nq)
+  m = mjtpu.put_model(mjm)
+  d = mjtpu.make_data(m).replace(qpos=jnp.asarray(np.array(mjd.qpos)))
+  step = jax.jit(mjtpu.step)
+  for _ in range(50):
+    mujoco.mj_step(mjm, mjd)
+    d = step(m, d)
+
+  out = mujoco.MjData(mjm)
+  mjtpu.get_data_into(out, m, d)
+
+  assert out.nefc == mjd.nefc, (out.nefc, mjd.nefc)
+  assert (out.ne, out.nf, out.nl) == (mjd.ne, mjd.nf, mjd.nl)
+  assert out.ncon == mjd.ncon
+  assert out.solver_niter[0] > 0
+
+  # non-contact rows: one-to-one (same static order as C)
+  ncs = out.ne + out.nf + out.nl
+  for field in ("efc_pos", "efc_margin", "efc_D", "efc_aref", "efc_force",
+                "efc_frictionloss"):
+    np.testing.assert_allclose(
+        getattr(out, field)[:ncs], getattr(mjd, field)[:ncs], atol=1e-8,
+        err_msg=field)
+  np.testing.assert_array_equal(out.efc_type[:ncs], mjd.efc_type[:ncs])
+  np.testing.assert_array_equal(out.efc_id[:ncs], mjd.efc_id[:ncs])
+
+  # contact rows: order-free — qfrc_constraint and force-magnitude multiset
+  j_out, j_mj = _dense_j(out, m.nv), _dense_j(mjd, m.nv)
+  np.testing.assert_allclose(
+      j_out.T @ out.efc_force, j_mj.T @ mjd.efc_force, atol=1e-6)
+  np.testing.assert_allclose(
+      np.sort(out.efc_force[ncs:]), np.sort(mjd.efc_force[ncs:]), atol=1e-6)
+  # contact efc_address points at that contact's rows in the compacted efc
+  for k in range(out.ncon):
+    a = out.contact.efc_address[k]
+    if a >= 0:
+      assert out.efc_id[a] == k
+      assert out.efc_type[a] >= int(
+          mujoco.mjtConstraint.mjCNSTR_CONTACT_FRICTIONLESS)
+
+
 def test_get_data_into_batched():
   """Batched Data writes into a list of MjData (reference device.py's
   list-of-N path)."""
