@@ -184,6 +184,8 @@ def put_model(m: mujoco.MjModel, dtype=None, _full_compat: bool = False) -> Mode
       "site_size", "site_pos", "site_quat",
       "cam_pos", "cam_quat", "cam_poscom0", "cam_pos0", "cam_mat0",
       "light_pos", "light_dir", "light_poscom0", "light_pos0", "light_dir0",
+      "light_diffuse", "light_ambient", "light_specular",
+      "light_attenuation", "light_cutoff", "light_exponent",
       "hfield_data",
       "pair_solref", "pair_solreffriction", "pair_solimp", "pair_margin",
       "pair_gap", "pair_friction",
@@ -202,6 +204,9 @@ def put_model(m: mujoco.MjModel, dtype=None, _full_compat: bool = False) -> Mode
     fields[name] = f(getattr(m, name))
 
   # version-dependent fields
+  fields["light_active"] = i(
+      getattr(m, "light_active", np.ones(m.nlight, bool))
+  )
   fields["tendon_armature"] = f(
       getattr(m, "tendon_armature", np.zeros(m.ntendon))
   )

@@ -244,6 +244,62 @@ def _trace(m: Model, d: Data, rd: RenderData, pnt, vec):
   return ts[best], best, normals[best], albedos[best]
 
 
+def _shade_scene_lights(m, d, rd, n, p_hit, vec, albedo, shadows, dtype):
+  """Per-light Lambert/Phong shading from the model's lights (reference
+  render.py:486-600: directional/point/spot types via d.light_xpos/xdir,
+  ambient+diffuse+specular colors, distance attenuation, spot cutoff,
+  per-light shadow rays; shadowed points keep only the ambient term).
+
+  The spot falloff uses the model's light_exponent (MuJoCo's default 10
+  equals the reference's hardcoded pow(10))."""
+  total = jnp.zeros(3, dtype)
+  active = np.atleast_1d(np.asarray(m.light_active)).astype(bool)
+  for i in range(m.nlight):
+    if not active[i]:
+      continue
+    ltype = int(m.light_type[i])
+    directional = ltype == 1  # mjLIGHT_DIRECTIONAL
+
+    if directional:
+      to_light = -math.normalize(d.light_xdir[i])
+      ldist = jnp.asarray(jnp.inf, dtype)
+      att = jnp.ones((), dtype)
+    else:  # spot / point / image
+      raw = d.light_xpos[i] - p_hit
+      ldist = math.safe_norm(raw)
+      to_light = raw / jnp.maximum(1e-12, ldist)
+      a = m.light_attenuation[i]
+      att = 1.0 / jnp.maximum(
+          1e-10, a[0] + a[1] * ldist + a[2] * ldist * ldist
+      )
+
+    spot = jnp.ones((), dtype)
+    if ltype == 0:  # mjLIGHT_SPOT
+      cos_cut = jnp.cos(jnp.radians(m.light_cutoff[i]))
+      sdir = math.normalize(d.light_xdir[i])
+      cos_ang = jnp.dot(-to_light, sdir)
+      spot = jnp.where(
+          cos_ang > cos_cut,
+          jnp.maximum(0.0, cos_ang) ** m.light_exponent[i],
+          0.0,
+      )
+
+    ndotl = jnp.maximum(0.0, jnp.dot(n, to_light))
+    diffuse = albedo * m.light_diffuse[i] * ndotl
+    reflect = math.normalize(2.0 * ndotl * n - to_light)
+    spec = m.light_specular[i] * jnp.maximum(0.0, jnp.dot(reflect, -vec)) ** 50
+    ambient = albedo * m.light_ambient[i]
+
+    lit = jnp.ones((), dtype)
+    if shadows and bool(m.light_castshadow[i]):
+      t_s, _, _, _ = _trace(m, d, rd, p_hit + 1e-4 * n, to_light)
+      occluded = jnp.isfinite(t_s) & (t_s < ldist - 2e-4)
+      lit = jnp.where(occluded, 0.0, 1.0)
+
+    total = total + ambient + (diffuse + spec) * (att * spot * lit)
+  return total
+
+
 def render(
     m: Model,
     d: Data,
@@ -256,11 +312,16 @@ def render(
     fog: float = 0.0,
     ssaa: int = 1,
     shading: str = "phong",
+    scene_lights: bool | None = None,
 ) -> jax.Array:
   """Renders an (height, width, 3) image from camera `camera`.
 
   shading: 'flat' (albedo only) or 'phong' (Lambert + specular).
   fog: linear fog coefficient (0 disables).  ssaa: supersampling factor.
+  scene_lights: shade from the model's lights (d.light_xpos/light_xdir,
+  per-light colors/attenuation/cutoff/shadows — reference
+  render.py:486-600).  Default: on when the model has lights; pass False
+  to force the fixed directional `light_dir` fallback.
   """
   rd = rd or precompute_render_data(m)
   dtype = d.qpos.dtype
@@ -286,6 +347,7 @@ def render(
   dirs = dirs / jnp.linalg.norm(dirs, axis=1, keepdims=True)
 
   ldir = math.normalize(jnp.asarray(light_dir, dtype=dtype))
+  use_scene = scene_lights if scene_lights is not None else bool(m.nlight)
 
   sky_img = (
       jnp.asarray(rd.sky_tex, dtype=dtype) if rd.sky_tex is not None else None
@@ -296,6 +358,11 @@ def render(
     hit = jnp.isfinite(t)
     if shading == "flat":
       color = albedo
+    elif use_scene and m.nlight:
+      p_hit = cam_pos + jnp.where(hit, t, 0.0) * vec
+      color = _shade_scene_lights(
+          m, d, rd, n, p_hit, vec, albedo, shadows, dtype
+      )
     else:
       lambert = jnp.maximum(0.0, jnp.dot(n, -ldir))
       refl = ldir - 2.0 * jnp.dot(ldir, n) * n

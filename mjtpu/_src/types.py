@@ -491,11 +491,18 @@ class Model:
   light_targetbodyid: np.ndarray = static(None)
   light_type: np.ndarray = static(None)
   light_castshadow: np.ndarray = static(None)
+  light_active: np.ndarray = static(None)
   light_pos: jax.Array = None
   light_dir: jax.Array = None
   light_poscom0: jax.Array = None
   light_pos0: jax.Array = None
   light_dir0: jax.Array = None
+  light_diffuse: jax.Array = None
+  light_ambient: jax.Array = None
+  light_specular: jax.Array = None
+  light_attenuation: jax.Array = None
+  light_cutoff: jax.Array = None
+  light_exponent: jax.Array = None
   # ---- meshes ----
   mesh_vertadr: np.ndarray = static(None)
   mesh_vertnum: np.ndarray = static(None)

@@ -112,6 +112,103 @@ def test_skybox(scene):
   del flat
 
 
+_LIT_XML = """
+<mujoco>
+<worldbody>
+  <camera name="c" pos="0 -2.5 2.2" xyaxes="1 0 0 0 0.66 0.75"/>
+  <light name="top" pos="0 0 3" dir="0 0 -1" diffuse=".9 .9 .9"
+         ambient=".08 .08 .08" specular=".2 .2 .2" cutoff="60"
+         castshadow="true"/>
+  <geom type="plane" size="4 4 .1" rgba=".7 .7 .7 1"/>
+  <body name="blocker" pos="0 0 1.2">
+    <geom type="box" size=".35 .35 .06" rgba=".4 .5 .6 1"/>
+  </body>
+</worldbody>
+</mujoco>
+"""
+
+
+def _lit_scene(xml=_LIT_XML):
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  m = mjtpu.put_model(mjm)
+  d = mjtpu.forward(m, mjtpu.make_data(m))
+  return mjm, m, d, mjtpu.precompute_render_data(m)
+
+
+def test_scene_light_shadow():
+  """A slab under a spot casts a shadow: floor pixels beneath it are
+  darker than open floor (reference render.py:486-600 per-light shadow
+  rays; shadowed points keep only ambient)."""
+  mjm, m, d, rd = _lit_scene()
+  img = np.asarray(mjtpu.render(m, d, width=64, height=48, rd=rd,
+                                shadows=True))
+  img_ns = np.asarray(mjtpu.render(m, d, width=64, height=48, rd=rd,
+                                   shadows=False))
+  assert np.isfinite(img).all() and img.min() >= 0 and img.max() <= 1
+  # shadows only darken; somewhere substantially (the umbra)
+  diff = img_ns.mean(-1) - img.mean(-1)
+  assert diff.min() > -1e-6
+  assert diff.max() > 0.2, diff.max()
+  # the slab's own top surface stays lit
+  assert img.mean() > 0.05
+
+
+def test_scene_light_moves_image():
+  """Moving the model light moves the lighting: images differ when the
+  light position changes (d.light_xpos is actually consumed)."""
+  mjm, m, d, rd = _lit_scene()
+  img0 = np.asarray(mjtpu.render(m, d, width=48, height=36, rd=rd))
+  m2 = m.replace(light_pos=jnp.asarray([[2.5, 0.0, 1.0]], m.light_pos.dtype))
+  d2 = mjtpu.forward(m2, mjtpu.make_data(m2))
+  img1 = np.asarray(mjtpu.render(m2, d2, width=48, height=36, rd=rd))
+  assert np.abs(img0 - img1).max() > 0.05
+
+
+def test_spot_cutoff():
+  """A narrow spot lights fewer floor pixels than a wide one."""
+  xml_n = _LIT_XML.replace('cutoff="60"', 'cutoff="12"')
+  _, m_w, d_w, rd = _lit_scene()
+  _, m_n, d_n, _ = _lit_scene(xml_n)
+  bright = lambda m_, d_: (
+      np.asarray(mjtpu.render(m_, d_, width=48, height=36, rd=rd)).mean(-1)
+      > 0.25
+  ).mean()
+  assert bright(m_n, d_n) < bright(m_w, d_w) - 0.05
+
+
+def test_point_light_attenuation():
+  """With quadratic attenuation, floor far from the light is dimmer."""
+  xml = _LIT_XML.replace('cutoff="60"', 'cutoff="179"').replace(
+      'castshadow="true"', 'castshadow="false" attenuation="1 0 0.35"')
+  _, m, d, rd = _lit_scene(xml)
+  img = np.asarray(mjtpu.render(m, d, width=64, height=48, rd=rd)).mean(-1)
+  # bottom rows of the image are floor near the camera (far from the
+  # light's ground point) vs center rows right under the light
+  center = img[20:28, 24:40].mean()
+  edge_cols = np.concatenate([img[40:, :8].ravel(), img[40:, -8:].ravel()])
+  assert center > edge_cols.mean() + 0.05
+
+
+def test_inactive_light_dark():
+  """light_active=False removes the light's contribution entirely."""
+  mjm, m, d, rd = _lit_scene()
+  img_on = np.asarray(mjtpu.render(m, d, width=32, height=24, rd=rd))
+  m_off = m.replace(light_active=np.zeros(1, bool))
+  img_off = np.asarray(mjtpu.render(m_off, d, width=32, height=24, rd=rd))
+  assert img_on.mean() > img_off.mean() + 0.1
+  # non-sky pixels are black without any light
+  floor = img_off[-6:]
+  assert floor.max() < 1e-6
+
+
+def test_scene_lights_opt_out():
+  """scene_lights=False falls back to the fixed directional light."""
+  mjm, m, d, rd = _lit_scene()
+  img = np.asarray(mjtpu.render(m, d, width=32, height=24, rd=rd,
+                                scene_lights=False))
+  assert np.isfinite(img).all() and img.mean() > 0.1
+
+
 def test_render_batch(scene):
   m, d, rd = scene
   batch = jax.tree.map(lambda x: jnp.stack([x, x]), d)
