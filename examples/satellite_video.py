@@ -65,7 +65,7 @@ def main():
 
   out_dir = Path(args.out_dir)
   out_dir.mkdir(parents=True, exist_ok=True)
-  for name in ("satellite", "satellite_large"):
+  for name in ("satellite_small", "satellite_large"):
     record(name, out_dir / f"{name}.mp4", args.steps, args.size)
 
 

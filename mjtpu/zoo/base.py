@@ -96,6 +96,12 @@ class MjtpuEnv:
   def action_size(self) -> int:
     return self.model.nu
 
+  def _prepare_ctrl(self, action: jax.Array) -> jax.Array:
+    """Hook: map the policy action onto the full ctrl vector (identity by
+    default; satellite envs append constant rotor-speed targets, matching
+    the reference's _prepare_ctrl, zoo/satellite.py:98-105)."""
+    return action
+
   @property
   def observation_size(self) -> int:
     return int(np.prod(jax.eval_shape(self._obs, self._d0).shape))
@@ -138,7 +144,8 @@ class MjtpuEnv:
     )
 
   def step(self, state: State, action: jax.Array) -> State:
-    data = state.data.replace(ctrl=action.astype(state.data.ctrl.dtype))
+    ctrl = self._prepare_ctrl(action)
+    data = state.data.replace(ctrl=ctrl.astype(state.data.ctrl.dtype))
     for _ in range(self.frame_skip):
       data = mjtpu.step(self.model, data)
     reward, done = self._reward_done(state.data, data, action)

@@ -16,8 +16,14 @@ import mjtpu.zoo as zoo
 ALL_ENVS = [
     "cartpole", "halfcheetah", "hopper", "walker2d", "swimmer", "ant",
     "humanoid", "humanoid_rich", "humanoid_terrain", "satellite",
-    "satellite_large",
+    "satellite_small", "satellite_large",
 ]
+
+# reference plant sizes to pin (mujoco_torch/zoo/satellite.py:7-22)
+_SAT_SPEC = {
+    "satellite_large": dict(nq=15, nv=14, nu=8, act=4, obs=23),
+    "satellite_small": dict(nq=19, nv=18, nu=12, act=6, obs=31),
+}
 
 
 def test_registry_complete():
@@ -75,7 +81,65 @@ def test_auto_reset_on_done(cartpole):
 
 
 @pytest.mark.parametrize("name", ALL_ENVS)
-def test_env_constructs(name):
+def test_env_rollout_sweep(name):
+  """Every registered env: jit reset + 8-step rollout, obs/action shape
+  contract, finite reward, episode counter advances (reference
+  zoo_reset_test.py runs the same contract over its registry)."""
   env = zoo.ENVS[name]()
   assert env.action_size >= 0
   assert env.observation_size > 0
+  state = env.reset(jax.random.PRNGKey(3))
+  assert state.obs.shape == (env.observation_size,)
+  step = jax.jit(env.step)
+  key = jax.random.PRNGKey(4)
+  for i in range(8):
+    key, sub = jax.random.split(key)
+    action = 0.1 * jax.random.normal(sub, (env.action_size,), state.obs.dtype)
+    state = step(state, action)
+  assert np.isfinite(np.asarray(state.obs)).all()
+  assert np.isfinite(float(state.reward))
+  assert np.isfinite(np.asarray(state.data.qpos)).all()
+  # counter advances; an auto-reset (done fired mid-rollout) clears it
+  assert 0 <= int(state.steps) <= 8
+
+
+@pytest.mark.parametrize("name", sorted(_SAT_SPEC))
+def test_satellite_plants(name):
+  """Satellite plants match the reference's sizes exactly and the CMG
+  gyroscopic path works: with rotors spinning, a gimbal-rate command
+  torques the bus (attitude rate appears with zero direct bus actuation).
+  Reference: zoo/satellite.py:7-22 (sizes), test plant physics."""
+  spec = _SAT_SPEC[name]
+  env = zoo.ENVS[name]()
+  assert env.mj_model.nq == spec["nq"]
+  assert env.mj_model.nv == spec["nv"]
+  assert env.mj_model.nu == spec["nu"]
+  assert env.action_size == spec["act"]
+  assert env.observation_size == spec["obs"]
+
+  state = env.reset(jax.random.PRNGKey(0))
+  # rotors were seeded at speed
+  rotor_dofs = np.asarray(env._rotor_dofs())
+  assert np.allclose(
+      np.asarray(state.data.qvel)[rotor_dofs], env.rotor_speed, atol=1.0
+  )
+  # command all gimbals at max rate: gyroscopic reaction must rotate
+  # the bus even though no actuator acts on the free joint
+  step = jax.jit(env.step)
+  action = jnp.ones((env.action_size,), state.obs.dtype)
+  for _ in range(5):
+    state = step(state, action)
+  omega = np.asarray(state.data.qvel)[3:6]
+  assert np.abs(omega).max() > 1e-3, omega
+  # never terminates (satellites don't crash)
+  assert not bool(state.done)
+
+
+def test_satellite_pixel_obs():
+  """Pixel observations render through the env pipeline (scene lights)."""
+  env = zoo.ENVS["satellite_small"](pixel_obs=True, pixel_size=(24, 32))
+  state = env.reset(jax.random.PRNGKey(0))
+  px = np.asarray(state.pixels)
+  assert px.shape == (24, 32, 3)
+  assert np.isfinite(px).all() and px.max() <= 1.0 and px.min() >= 0.0
+  assert px.std() > 0.01  # an actual image, not a constant fill
