@@ -57,3 +57,70 @@ def test_version_floor():
   # newer versions keep working — but guard against ancient bindings
   major, minor = (int(x) for x in mujoco.__version__.split(".")[:2])
   assert (major, minor) >= (3, 3)
+
+
+def test_versioned_enum_dispatch():
+  """Enums added after the 3.3 floor resolve to the live value when the
+  bindings have them and to a never-matching sentinel when they don't —
+  so BOTH CI matrix pins exercise a real branch here (reference
+  version_compat_test.py gates the same surface via implement_for)."""
+  for attr, enum_val, sentinel in (
+      ("mjSENS_TENDONACTFRC", types.SensorType.TENDONACTFRC, -3),
+      ("mjSENS_CONTACT", types.SensorType.CONTACT, -4),
+  ):
+    if hasattr(mujoco.mjtSensor, attr):
+      assert int(enum_val) == int(getattr(mujoco.mjtSensor, attr))
+    else:
+      # old pin: the sentinel can never match a real sensor_type value,
+      # so put_model's check_enum rejects nothing spuriously
+      assert int(enum_val) == sentinel
+
+
+class _OldBindings:
+  """Proxy simulating a pre-3.4 MjModel: hides fields that newer MuJoCo
+  versions added, so the getattr fallbacks in put_model run under ANY
+  installed pin (the old-version half of the reference's implement_for
+  dispatch, types.py:29-483)."""
+
+  _HIDDEN = ("tendon_armature", "sensor_intprm", "light_active")
+
+  def __init__(self, mjm):
+    object.__setattr__(self, "_mjm", mjm)
+
+  def __getattr__(self, name):
+    if name in self._HIDDEN:
+      raise AttributeError(name)
+    return getattr(self._mjm, name)
+
+
+def test_old_bindings_field_fallbacks():
+  """put_model on a model without tendon_armature/sensor_intprm/
+  light_active (the 3.3-era layout): defaults kick in and the engine
+  still steps + matches the un-hidden model exactly (those fields are
+  all-zero/-default in the XML)."""
+  import jax
+  import jax.numpy as jnp
+
+  import mjtpu
+  from tests.conftest import load_mj
+
+  mjm = load_mj("friction_tendon.xml")
+  m_new = mjtpu.put_model(mjm)
+  m_old = mjtpu.put_model(_OldBindings(mjm))
+
+  assert not m_old.has_tendon_armature
+  assert np.all(np.asarray(m_old.tendon_armature) == 0.0)
+  assert np.all(np.asarray(m_old.light_active))
+  np.testing.assert_array_equal(
+      np.asarray(m_old.sensor_intprm), np.zeros((mjm.nsensor, 3), np.int32)
+  )
+
+  d_new = mjtpu.make_data(m_new)
+  d_old = mjtpu.make_data(m_old)
+  step = jax.jit(mjtpu.step)
+  for _ in range(10):
+    d_new = step(m_new, d_new)
+    d_old = step(m_old, d_old)
+  np.testing.assert_allclose(
+      np.asarray(d_old.qpos), np.asarray(d_new.qpos), atol=1e-12
+  )
