@@ -16,6 +16,7 @@ cone-projected quadratic for elliptic contacts.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -23,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mjtpu._src import math, smooth, support
+from mjtpu._src.diff_config import get_diff_config
 from mjtpu._src.types import ConeType, Data, DisableBit, Model, SolverType
 from mjtpu._src.precision import matmul_precision
 from mjtpu.ops import fused
@@ -320,51 +322,141 @@ def solve(m: Model, d: Data, fixed_iterations: bool = False) -> Data:
     g = Ma - qfrc_smooth
     return g - efc_J.T @ force if nefc else g
 
+  # Forest-blocked Newton (big multi-tree scenes): solve H mgrad = grad
+  # matrix-free with PCG preconditioned by H's per-tree diagonal blocks
+  # instead of materializing and densely factoring the (nv, nv) Hessian —
+  # O(iters · (nefc·nv + Σ bs²)) instead of O(nv³) per Newton step
+  # (SURVEY.md §7 hard-part #1).  Trace-time gate: multi-tree block
+  # structure, nv past the dense crossover, and not a differentiated trace
+  # (the PCG while_loop has no reverse rule).
+  _blocks = smooth.mass_blocks(m) if newton else None
+  use_pcg = (
+      _blocks is not None
+      and m.nv >= int(os.environ.get("MJTPU_NEWTON_PCG_MIN_NV", "64"))
+      and os.environ.get("MJTPU_NEWTON_PCG", "1") != "0"
+      and get_diff_config() is None
+  )
+
+  def _cone_blocks(Jaref):
+    """Exact cone Hessian for middle-zone elliptic blocks:
+      H = Dm a a' - (Dm nmt mu / T) S (I - vv') S,  a = (1, -mu S v_hat)
+    batched per condim group: [(hcone (K,dim,dim), Jblk (K,dim,nv)), ...]."""
+    out = []
+    for dim, starts, _ in meta.elliptic_groups:
+      idx = _group_rows(starts, dim)                  # (K, dim) static
+      K = idx.shape[0]
+      U = Jaref[idx]
+      Db = efc_D[idx]
+      Jblk = efc_J[idx]                               # (K, dim, nv)
+      N, T, mu_t, v_scale, dm = _elliptic_geometry(
+          U, Db, mu_rows[np.asarray(starts)])
+      middle = (N < mu_t * T) & ((mu_t * N + T) > 0)
+      tsafe = jnp.maximum(math.MINVAL, T)
+      v_hat = U[:, 1:] * v_scale / tsafe[:, None]
+      a = jnp.concatenate(
+          [jnp.ones((K, 1), dtype), -mu_t[:, None] * v_scale * v_hat],
+          axis=1,
+      )
+      hcone = dm[:, None, None] * a[:, :, None] * a[:, None, :]
+      nmt = N - mu_t * T
+      curv = -(dm * nmt * mu_t / tsafe)
+      pmat = (
+          jnp.eye(dim - 1, dtype=dtype)[None]
+          - v_hat[:, :, None] * v_hat[:, None, :]
+      )
+      hcone = hcone.at[:, 1:, 1:].add(
+          curv[:, None, None]
+          * (v_scale[:, :, None] * pmat * v_scale[:, None, :])
+      )
+      hcone = jnp.where(middle[:, None, None], hcone, jnp.zeros_like(hcone))
+      out.append((hcone, Jblk))
+    return out
+
+  # f32: regularize the Hessian so near-singular active sets stay
+  # factorable (preconditioner only — the exact linesearch still
+  # minimizes the true cost, so converged solutions are unchanged)
+  _use_reg = dtype != jnp.float64
+  _reg = 1e-6 * m.stat.meaninertia if _use_reg else jnp.zeros((), dtype)
+
+  def _newton_pcg(grad, Dq, cones):
+    """Preconditioned CG on H x = grad; H applied matrix-free, the
+    preconditioner is H's per-tree diagonal blocks (qM block + that
+    block's own J'DJ restriction + reg), cholesky'd batched per size
+    group — contact coupling *between* trees is what PCG iterates on."""
+    pre, mblk = [], []
+    for bs, rows, ii, jj in smooth._block_indices(_blocks):
+      Jb = efc_J[:, rows]  # (nefc, k, bs)
+      Mb = d.qM[ii, jj]    # (k, bs, bs) — the blocks tile [0, nv)
+      mblk.append((rows, Mb))
+      hb = jnp.einsum("nkb,n,nkc->kbc", Jb, Dq, Jb) + Mb
+      if _use_reg:
+        hb = hb + _reg * jnp.eye(bs, dtype=dtype)[None]
+      pre.append((rows, jax.vmap(math.safe_cholesky)(hb)))
+
+    def pinv(r):
+      out = jnp.zeros_like(r)
+      for rows, fb in pre:
+        out = out.at[rows].set(math.cho_solve(fb, r[rows]))
+      return out
+
+    def hmul(x):
+      # block-diagonal M @ x (qM has no cross-tree entries)
+      hx = jnp.zeros_like(x)
+      for rows, Mb in mblk:
+        hx = hx.at[rows].set(jnp.einsum("kbc,kc->kb", Mb, x[rows]))
+      if _use_reg:
+        hx = hx + _reg * x
+      if nefc:
+        hx = hx + efc_J.T @ (Dq * (efc_J @ x))
+      for hcone, jblk in cones:
+        jx = jnp.einsum("kiv,v->ki", jblk, x)
+        hx = hx + jnp.einsum("kiv,ki->v", jblk,
+                             jnp.einsum("kij,kj->ki", hcone, jx))
+      return hx
+
+    gnorm = math.safe_norm(grad)
+    rtol = 1e-10 if dtype == jnp.float64 else 1e-6
+    tol2 = (rtol * gnorm) ** 2 + math.MINVAL
+    maxiter = int(os.environ.get("MJTPU_NEWTON_PCG_MAXITER", "32"))
+
+    z0 = pinv(grad)
+    state = (jnp.zeros_like(grad), grad, z0, z0,
+             jnp.dot(grad, z0), jnp.zeros((), jnp.int32))
+
+    def cond(s):
+      _, r, _, _, _, k = s
+      return (jnp.dot(r, r) > tol2) & (k < maxiter)
+
+    def body(s):
+      x, r, z, p, rz, k = s
+      hp = hmul(p)
+      alpha = rz / jnp.maximum(math.MINVAL, jnp.dot(p, hp))
+      x = x + alpha * p
+      r = r - alpha * hp
+      z = pinv(r)
+      rz_new = jnp.dot(r, z)
+      beta = rz_new / jnp.maximum(math.MINVAL, rz)
+      return x, r, z, z + beta * p, rz_new, k + 1
+
+    x, *_ = jax.lax.while_loop(cond, body, state)
+    return x
+
   def precond_grad(grad, quad, Jaref):
-    if newton:
-      h = d.qM + (efc_J.T * (efc_D * quad)) @ efc_J
-      if dtype != jnp.float64:
-        # f32: regularize the Hessian so near-singular active sets stay
-        # factorable (preconditioner only — the exact linesearch still
-        # minimizes the true cost, so converged solutions are unchanged)
-        h = h + (1e-6 * m.stat.meaninertia) * jnp.eye(m.nv, dtype=dtype)
-      # exact cone Hessian for middle-zone elliptic blocks:
-      #   H = Dm a a' - (Dm nmt mu / T) S (I - vv') S,  a = (1, -mu S v_hat)
-      # batched per condim group: hcone (K,dim,dim), then one pair of
-      # matmuls folds all K congruences J'HJ into h (MXU-shaped)
-      for dim, starts, _ in meta.elliptic_groups:
-        idx = _group_rows(starts, dim)                  # (K, dim) static
-        K = idx.shape[0]
-        U = Jaref[idx]
-        Db = efc_D[idx]
-        Jblk = efc_J[idx]                               # (K, dim, nv)
-        N, T, mu_t, v_scale, dm = _elliptic_geometry(
-            U, Db, mu_rows[np.asarray(starts)])
-        middle = (N < mu_t * T) & ((mu_t * N + T) > 0)
-        tsafe = jnp.maximum(math.MINVAL, T)
-        v_hat = U[:, 1:] * v_scale / tsafe[:, None]
-        a = jnp.concatenate(
-            [jnp.ones((K, 1), dtype), -mu_t[:, None] * v_scale * v_hat],
-            axis=1,
-        )
-        hcone = dm[:, None, None] * a[:, :, None] * a[:, None, :]
-        nmt = N - mu_t * T
-        curv = -(dm * nmt * mu_t / tsafe)
-        pmat = (
-            jnp.eye(dim - 1, dtype=dtype)[None]
-            - v_hat[:, :, None] * v_hat[:, None, :]
-        )
-        hcone = hcone.at[:, 1:, 1:].add(
-            curv[:, None, None]
-            * (v_scale[:, :, None] * pmat * v_scale[:, None, :])
-        )
-        hcone = jnp.where(middle[:, None, None], hcone, jnp.zeros_like(hcone))
-        hj = jnp.einsum("kij,kjv->kiv", hcone, Jblk)
-        h = h + jnp.einsum("kiv,kiw->vw", Jblk, hj)
-      mgrad = fused.chol_solve(h, grad)
-    else:
-      mgrad = smooth.solve_m(m, d, grad)
-    return mgrad
+    if not newton:
+      return smooth.solve_m(m, d, grad)
+    Dq = efc_D * quad
+    cones = _cone_blocks(Jaref)
+    if use_pcg:
+      return _newton_pcg(grad, Dq, cones)
+    h = d.qM + (efc_J.T * Dq) @ efc_J
+    if _use_reg:
+      h = h + _reg * jnp.eye(m.nv, dtype=dtype)
+    # fold all K cone congruences J'HJ into h (one pair of MXU matmuls
+    # per condim group)
+    for hcone, jblk in cones:
+      hj = jnp.einsum("kij,kjv->kiv", hcone, jblk)
+      h = h + jnp.einsum("kiv,kiw->vw", jblk, hj)
+    return fused.chol_solve(h, grad)
 
   def linesearch(qacc, Ma, Jaref, search, gauss):
     """MuJoCo C's exact 3-point lo/hi bracket-swap linesearch (matches the

@@ -171,3 +171,55 @@ def test_elliptic_trace_flat_in_ncon():
     sizes[n] = _count_eqns(jaxpr.jaxpr)
   # 4x the contacts must cost <20% more equations (shape growth only)
   assert sizes[16] < 1.2 * sizes[4], sizes
+
+
+def test_blocked_newton_pcg_matches_dense():
+  """Forest-block-PCG Newton (multi-tree nv>=64 scenes solve the Hessian
+  matrix-free with per-tree block preconditioning) reproduces the dense
+  exact-solve trajectory and tracks C (SURVEY.md §7 hard-part #1; the
+  per-tree preconditioner is strong enough that PCG converges to the
+  exact direction in a handful of iterations)."""
+  import os
+
+  rng = np.random.default_rng(0)
+  bodies = []
+  for i in range(12):  # nv = 72, above the PCG threshold
+    x, y = rng.uniform(-0.4, 0.4, 2)
+    z = 0.12 + 0.25 * (i % 3)
+    bodies.append(
+        f'<body pos="{x:.3f} {y:.3f} {z:.3f}"><freejoint/>'
+        f'<geom type="sphere" size="0.1" mass="0.4"/></body>')
+  xml = f"""<mujoco><option timestep="0.002" solver="Newton"/>
+  <worldbody><geom type="plane" size="3 3 .1"/>{''.join(bodies)}</worldbody>
+  </mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  mjd = mujoco.MjData(mjm)
+  m = mjtpu.put_model(mjm)
+  from mjtpu._src import smooth as smooth_mod
+
+  assert smooth_mod.mass_blocks(m) is not None
+
+  d0 = mjtpu.make_data(m)
+  # both paths are trace-time knobs: trace each under its own env setting
+  step_pcg = jax.jit(lambda m_, d_: mjtpu.step(m_, d_))
+  d_p = d0
+  for _ in range(50):
+    d_p = step_pcg(m, d_p)
+
+  os.environ["MJTPU_NEWTON_PCG"] = "0"
+  try:
+    step_dense = jax.jit(lambda m_, d_: mjtpu.step(m_, d_))
+    d_d = d0
+    for _ in range(50):
+      d_d = step_dense(m, d_d)
+  finally:
+    del os.environ["MJTPU_NEWTON_PCG"]
+
+  for _ in range(50):
+    mujoco.mj_step(mjm, mjd)
+
+  np.testing.assert_allclose(
+      np.asarray(d_p.qpos), np.asarray(d_d.qpos), atol=1e-12,
+      err_msg="pcg vs dense")
+  np.testing.assert_allclose(
+      np.asarray(d_p.qpos), mjd.qpos, atol=1e-10, err_msg="pcg vs C")
