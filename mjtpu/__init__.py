@@ -61,7 +61,13 @@ from mjtpu._src.smooth import (
     transmission,
 )
 from mjtpu._src.ray import ray, ray_geom
-from mjtpu._src.render import precompute_render_data, render, render_batch
+from mjtpu._src.render import (
+    precompute_render_data,
+    render,
+    render_batch,
+    render_batch_rgbd,
+    render_rgbd,
+)
 from mjtpu._src.smooth import dense_m as full_m
 from mjtpu._src.smooth import mul_m
 from mjtpu._src.solver import solve

@@ -300,7 +300,7 @@ def _shade_scene_lights(m, d, rd, n, p_hit, vec, albedo, shadows, dtype):
   return total
 
 
-def render(
+def render_rgbd(
     m: Model,
     d: Data,
     width: int = 64,
@@ -313,15 +313,22 @@ def render(
     ssaa: int = 1,
     shading: str = "phong",
     scene_lights: bool | None = None,
-) -> jax.Array:
-  """Renders an (height, width, 3) image from camera `camera`.
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+  """Renders RGB, depth, and segmentation buffers from camera `camera`
+  (the reference render.py:719-861 returns the same (rgb, depth, seg)
+  triple):
+
+  * rgb: (H, W, 3) float in [0, 1]
+  * depth: (H, W) float ray distance, -1 where no geom was hit
+  * seg: (H, W) int32 geom id, -1 where no geom was hit
 
   shading: 'flat' (albedo only) or 'phong' (Lambert + specular).
-  fog: linear fog coefficient (0 disables).  ssaa: supersampling factor.
-  scene_lights: shade from the model's lights (d.light_xpos/light_xdir,
-  per-light colors/attenuation/cutoff/shadows — reference
-  render.py:486-600).  Default: on when the model has lights; pass False
-  to force the fixed directional `light_dir` fallback.
+  fog: linear fog coefficient (0 disables; never applied to misses).
+  ssaa: supersampling factor (rgb/depth average samples; seg takes the
+  center sample).  scene_lights: shade from the model's lights
+  (d.light_xpos/light_xdir, per-light colors/attenuation/cutoff/shadows —
+  reference render.py:486-600).  Default: on when the model has lights;
+  pass False to force the fixed directional `light_dir` fallback.
   """
   rd = rd or precompute_render_data(m)
   dtype = d.qpos.dtype
@@ -352,10 +359,13 @@ def render(
   sky_img = (
       jnp.asarray(rd.sky_tex, dtype=dtype) if rd.sky_tex is not None else None
   )
+  geom_id_table = jnp.asarray(np.asarray(rd.geom_ids, np.int32))
 
   def shade(vec):
     t, vis, n, albedo = _trace(m, d, rd, cam_pos, vec)
     hit = jnp.isfinite(t)
+    depth = jnp.where(hit, t, jnp.asarray(-1.0, dtype))
+    seg = jnp.where(hit, geom_id_table[vis], jnp.asarray(-1, jnp.int32))
     if shading == "flat":
       color = albedo
     elif use_scene and m.nlight:
@@ -382,15 +392,35 @@ def render(
       sky = _sample_tex(sky_img, jnp.stack([u, v]))
     else:
       sky = jnp.asarray([0.55, 0.7, 0.9], dtype)
-    return jnp.where(hit, jnp.clip(color, 0.0, 1.0), sky)
+    return jnp.where(hit, jnp.clip(color, 0.0, 1.0), sky), depth, seg
 
-  img = jax.vmap(shade)(dirs).reshape(h, w, 3)
+  img, depth, seg = jax.vmap(shade)(dirs)
+  img = img.reshape(h, w, 3)
+  depth = depth.reshape(h, w)
+  seg = seg.reshape(h, w)
   if ssaa > 1:
     img = img.reshape(height, ssaa, width, ssaa, 3).mean(axis=(1, 3))
-  return img
+    depth = depth.reshape(height, ssaa, width, ssaa).mean(axis=(1, 3))
+    seg = seg[ssaa // 2 :: ssaa, ssaa // 2 :: ssaa]
+  return img, depth, seg
+
+
+def render(m: Model, d: Data, **kwargs) -> jax.Array:
+  """Renders an (height, width, 3) RGB image (see render_rgbd for the
+  full (rgb, depth, seg) buffer triple the reference returns)."""
+  return render_rgbd(m, d, **kwargs)[0]
 
 
 def render_batch(m: Model, d: Data, **kwargs) -> jax.Array:
   """Renders a batched Data (leading env axis) -> (B, H, W, 3)."""
   rd = kwargs.pop("rd", None) or precompute_render_data(m)
   return jax.vmap(lambda dd: render(m, dd, rd=rd, **kwargs))(d)
+
+
+def render_batch_rgbd(
+    m: Model, d: Data, **kwargs
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+  """Batched render_rgbd: (B, H, W, 3) rgb, (B, H, W) depth, (B, H, W) seg
+  (reference render.py:864-887)."""
+  rd = kwargs.pop("rd", None) or precompute_render_data(m)
+  return jax.vmap(lambda dd: render_rgbd(m, dd, rd=rd, **kwargs))(d)

@@ -218,3 +218,138 @@ def test_render_batch(scene):
   one = np.asarray(mjtpu.render(m, d, width=16, height=12, rd=rd))
   np.testing.assert_allclose(imgs[0], one, rtol=1e-5, atol=1e-6)
   np.testing.assert_allclose(imgs[0], imgs[1])
+
+
+def test_depth_and_segmentation(scene):
+  """render_rgbd returns the reference's (rgb, depth, seg) triple
+  (reference render.py:759-763): depth is the positive ray distance on
+  hits and -1 on misses; seg is the geom id on hits and -1 on misses."""
+  m, d, rd = scene
+  rgb, depth, seg = [
+      np.asarray(x)
+      for x in mjtpu.render_rgbd(m, d, width=64, height=48, rd=rd)
+  ]
+  assert rgb.shape == (48, 64, 3)
+  assert depth.shape == (48, 64) and seg.shape == (48, 64)
+  hit = seg >= 0
+  assert hit.any() and (~hit).any()
+  assert (depth[hit] > 0).all()
+  np.testing.assert_array_equal(depth[~hit], -1.0)
+  # seg values are real geom ids: plane(0), box(1), sphere(2)
+  assert set(np.unique(seg)) <= {-1, 0, 1, 2}
+  assert {0, 2} <= set(np.unique(seg))  # floor and red sphere visible
+  # depth is metric: the camera is at |(2,-2,1.5)| ~ 3.2 from the origin
+  assert 1.0 < depth[hit].min() < 4.0
+
+
+def test_depth_matches_geometry():
+  """A unit-area box face 2m straight ahead reads depth ~= 2."""
+  xml = """<mujoco><worldbody>
+    <camera name="c" pos="0 -2 0.5" xyaxes="1 0 0 0 0 1"/>
+    <body pos="0 0.5 0.5"><geom type="box" size="1 0.5 1"/></body>
+  </worldbody></mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  m = mjtpu.put_model(mjm)
+  d = mjtpu.forward(m, mjtpu.make_data(m))
+  _, depth, seg = mjtpu.render_rgbd(m, d, width=9, height=9)
+  c = np.asarray(depth)[4, 4]
+  assert np.asarray(seg)[4, 4] == 0
+  np.testing.assert_allclose(c, 2.0, atol=0.02)
+
+
+def test_fog_fades_with_distance(scene):
+  """Linear fog blends far hits toward the fog color but leaves misses
+  (sky) untouched (reference render.py:695-710)."""
+  m, d, rd = scene
+  rgb0, depth, seg = mjtpu.render_rgbd(m, d, width=48, height=36, rd=rd)
+  rgb1 = mjtpu.render(m, d, width=48, height=36, rd=rd, fog=0.5)
+  rgb0, rgb1 = np.asarray(rgb0), np.asarray(rgb1)
+  hit = np.asarray(seg) >= 0
+  fog_col = np.array([0.8, 0.85, 0.9])
+  d0 = np.abs(rgb0 - fog_col).sum(-1)
+  d1 = np.abs(rgb1 - fog_col).sum(-1)
+  # hits move toward the fog color; the farthest hits move the most
+  assert d1[hit].mean() < d0[hit].mean() - 0.05
+  far = hit & (np.asarray(depth) > np.asarray(depth)[hit].mean())
+  assert d1[far].max() < 0.75
+  # sky pixels are unchanged
+  np.testing.assert_allclose(rgb1[~hit], rgb0[~hit], atol=1e-6)
+
+
+def test_ssaa_antialiases(scene):
+  """SSAA=4 produces intermediate edge values: strictly more unique
+  pixel intensities than the aliased render, same overall image."""
+  m, d, rd = scene
+  img1 = np.asarray(mjtpu.render(m, d, width=32, height=24, rd=rd, ssaa=1))
+  img4 = np.asarray(mjtpu.render(m, d, width=32, height=24, rd=rd, ssaa=4))
+  assert img4.shape == img1.shape
+  assert np.abs(img4 - img1).mean() < 0.1  # same scene
+  assert len(np.unique(img4.round(4))) > len(np.unique(img1.round(4)))
+  # ssaa depth averages samples; seg takes the center sample (still ids)
+  _, depth4, seg4 = mjtpu.render_rgbd(
+      m, d, width=32, height=24, rd=rd, ssaa=4)
+  assert depth4.shape == (24, 32) and seg4.shape == (24, 32)
+  assert set(np.unique(np.asarray(seg4))) <= {-1, 0, 1, 2}
+
+
+def test_cylinder_and_ellipsoid_rendering():
+  """Cylinder and ellipsoid hit/normal paths (reference
+  render_test.py:242-262 covers cylinders; mjtpu renders ellipsoids
+  too)."""
+  xml = """<mujoco><worldbody>
+    <camera name="c" pos="0 -3 1" xyaxes="1 0 0 0 0.32 0.95"/>
+    <geom type="plane" size="4 4 .1" rgba=".6 .6 .6 1"/>
+    <body pos="-0.7 0 0.6"><geom type="cylinder" size="0.3 0.5"
+      rgba="1 0 0 1"/></body>
+    <body pos="0.7 0 0.6"><geom type="ellipsoid" size="0.3 0.2 0.5"
+      rgba="0 0 1 1"/></body>
+  </worldbody></mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  m = mjtpu.put_model(mjm)
+  d = mjtpu.forward(m, mjtpu.make_data(m))
+  rgb, _, seg = mjtpu.render_rgbd(m, d, width=64, height=48)
+  rgb, seg = np.asarray(rgb), np.asarray(seg)
+  assert np.isfinite(rgb).all()
+  assert (seg == 1).mean() > 0.01, "cylinder visible"
+  assert (seg == 2).mean() > 0.01, "ellipsoid visible"
+  red = rgb[seg == 1]
+  blue = rgb[seg == 2]
+  assert red[:, 0].mean() > red[:, 2].mean() + 0.1
+  assert blue[:, 2].mean() > blue[:, 0].mean() + 0.1
+
+
+def test_camera_pose_follows_body():
+  """A body-mounted camera moves with qpos: forward() updates cam_xpos
+  and the rendered segmentation shifts (reference render_test.py:228)."""
+  xml = """<mujoco><worldbody>
+    <geom type="plane" size="4 4 .1"/>
+    <body pos="0 0 1"><joint type="slide" axis="1 0 0"/>
+      <geom type="sphere" size="0.01" rgba="0 0 0 0" contype="0"
+        conaffinity="0" mass="1"/>
+      <camera name="c" pos="0 0 0.3" xyaxes="1 0 0 0 0.32 0.95"/></body>
+    <body pos="0 2 0.4"><geom type="box" size=".4 .4 .4" rgba="1 0 0 1"/>
+    </body>
+  </worldbody></mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  m = mjtpu.put_model(mjm)
+  d0 = mjtpu.forward(m, mjtpu.make_data(m))
+  d1 = mjtpu.forward(m, mjtpu.make_data(m).replace(
+      qpos=jnp.asarray([1.5], m.qpos0.dtype)))
+  assert abs(float(d1.cam_xpos[0, 0]) - float(d0.cam_xpos[0, 0]) - 1.5) < 1e-9
+  seg0 = np.asarray(mjtpu.render_rgbd(m, d0, width=48, height=36)[2])
+  seg1 = np.asarray(mjtpu.render_rgbd(m, d1, width=48, height=36)[2])
+  assert (seg0 != seg1).mean() > 0.01
+
+
+def test_render_batch_rgbd(scene):
+  m, d, rd = scene
+  batch = jax.tree.map(lambda x: jnp.stack([x, x]), d)
+  rgb, depth, seg = mjtpu.render_batch_rgbd(
+      m, batch, width=16, height=12, rd=rd)
+  assert rgb.shape == (2, 12, 16, 3)
+  assert depth.shape == (2, 12, 16)
+  assert seg.shape == (2, 12, 16)
+  one = mjtpu.render_rgbd(m, d, width=16, height=12, rd=rd)
+  np.testing.assert_allclose(np.asarray(rgb[0]), np.asarray(one[0]),
+                             rtol=1e-5, atol=1e-6)
+  np.testing.assert_array_equal(np.asarray(seg[0]), np.asarray(one[2]))
