@@ -313,6 +313,7 @@ def render_rgbd(
     ssaa: int = 1,
     shading: str = "phong",
     scene_lights: bool | None = None,
+    background: tuple | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
   """Renders RGB, depth, and segmentation buffers from camera `camera`
   (the reference render.py:719-861 returns the same (rgb, depth, seg)
@@ -329,6 +330,8 @@ def render_rgbd(
   (d.light_xpos/light_xdir, per-light colors/attenuation/cutoff/shadows —
   reference render.py:486-600).  Default: on when the model has lights;
   pass False to force the fixed directional `light_dir` fallback.
+  background: RGB triple in [0, 1] for miss pixels, overriding the
+  skybox/default-sky (reference render.py:751-753).
   """
   rd = rd or precompute_render_data(m)
   dtype = d.qpos.dtype
@@ -386,7 +389,9 @@ def render_rgbd(
     if fog > 0:
       fog_w = jnp.clip(t * fog, 0.0, 1.0)
       color = color * (1 - fog_w) + fog_w * jnp.asarray([0.8, 0.85, 0.9], dtype)
-    if sky_img is not None:
+    if background is not None:
+      sky = jnp.asarray(background, dtype)
+    elif sky_img is not None:
       u = jnp.arctan2(vec[1], vec[0]) / (2.0 * jnp.pi) + 0.5
       v = 0.5 - jnp.arcsin(jnp.clip(vec[2], -1.0, 1.0)) / jnp.pi
       sky = _sample_tex(sky_img, jnp.stack([u, v]))

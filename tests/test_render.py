@@ -341,6 +341,18 @@ def test_camera_pose_follows_body():
   assert (seg0 != seg1).mean() > 0.01
 
 
+def test_background_color(scene):
+  """background= overrides skybox/default sky on miss pixels (reference
+  render_test.py:336)."""
+  m, d, rd = scene
+  rgb, _, seg = mjtpu.render_rgbd(m, d, width=32, height=24, rd=rd,
+                                  background=(0.0, 1.0, 0.0))
+  rgb, seg = np.asarray(rgb), np.asarray(seg)
+  miss = seg < 0
+  assert miss.any()
+  assert np.abs(rgb[miss] - np.array([0.0, 1.0, 0.0])).max() < 1e-6
+
+
 def test_render_batch_rgbd(scene):
   m, d, rd = scene
   batch = jax.tree.map(lambda x: jnp.stack([x, x]), d)
