@@ -26,8 +26,24 @@ jax.config.update("jax_enable_x64", True)
 # backend_compile_and_load across unrelated tests); cached executables
 # bypass the crashing path entirely on reruns, and completed compiles
 # survive a crashed run — so repeated runs converge to a warm, stable,
-# much faster suite
-jax.config.update("jax_compilation_cache_dir", "/tmp/mjtpu_xla_cache_cpu")
+# much faster suite.
+# The cache dir is keyed by the host CPU's feature set: XLA's cache key
+# does NOT include machine features, and this VM migrates between hosts
+# with different CPUs — loading a foreign AOT blob logs "could lead to
+# execution errors such as SIGILL" and (observed 2026-08-19) silently
+# MISCOMPUTES gathers, turning green tests red with wrong numerics.
+import hashlib
+import platform
+
+try:
+  with open("/proc/cpuinfo") as _fh:
+    _cpu_sig = next(
+        (ln for ln in _fh if ln.startswith("flags")), platform.processor())
+except OSError:
+  _cpu_sig = platform.processor()
+_cpu_tag = hashlib.sha1(_cpu_sig.encode()).hexdigest()[:10]
+jax.config.update(
+    "jax_compilation_cache_dir", f"/tmp/mjtpu_xla_cache_cpu_{_cpu_tag}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 # XLA's CPU JIT leaks ~1k mmap regions per large compiled executable; a full
