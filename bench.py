@@ -106,7 +106,20 @@ def _worker(result_path, deadline):
       mjm.qpos0[None] + rng.uniform(-0.01, 0.01, (batch, mjm.nq)),
       dtype=jnp.float32,
   )
+  # MJTPU_BENCH_CHUNKS=K splits the batch into K independent dispatches per
+  # step.  On the tunneled runtime a single dispatch past ~1.7 ms degrades
+  # catastrophically (CLAUDE.md); chunks keep each dispatch under the
+  # threshold while XLA pipelines across chunks (they carry no cross-chunk
+  # dependency).  K=1 (default) is the plain full-batch dispatch.
+  chunks = int(os.environ.get("MJTPU_BENCH_CHUNKS", "1"))
+  assert batch % chunks == 0, (batch, chunks)
   batch_d = jax.vmap(lambda q: d0.replace(qpos=q))(qpos)
+  if chunks > 1:
+    batch_d = [
+        jax.tree.map(lambda x, i=i: x[i * (batch // chunks):
+                                      (i + 1) * (batch // chunks)], batch_d)
+        for i in range(chunks)
+    ]
 
   # solver iteration count is data-dependent (lax.while_loop); for batched
   # throughput the loop runs to the slowest env, exactly like the reference.
@@ -121,6 +134,11 @@ def _worker(result_path, deadline):
   )
 
   def run(d, n):
+    if chunks > 1:
+      for _ in range(n):
+        d = [step_fn(m, c) for c in d]
+      jax.block_until_ready(d[-1].qpos)
+      return d
     for _ in range(n):
       d = step_fn(m, d)
     jax.block_until_ready(d.qpos)
@@ -186,7 +204,8 @@ def _worker(result_path, deadline):
   outcome = {}
 
   def _check():
-    frac = jax.jit(lambda q: jnp.isfinite(q).all(axis=1).mean())(batch_d.qpos)
+    q = batch_d[0].qpos if chunks > 1 else batch_d.qpos
+    frac = jax.jit(lambda q: jnp.isfinite(q).all(axis=1).mean())(q)
     outcome["finite_frac"] = float(frac)
 
   th = threading.Thread(target=_check, daemon=True)

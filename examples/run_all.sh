@@ -27,4 +27,5 @@ run python examples/policy_viewer_example.py --headless --steps "$STEPS"
 run python examples/satellite_video.py --steps "$STEPS" --size 128
 run python examples/train_ppo.py --num-envs 64 --rollout 8 --iters 2
 run python examples/train_sac.py --num-envs 32 --iters 5
+run python examples/diff_optim.py --iters 20 --steps 60 --target 0.8 0.4
 exit $FAILED

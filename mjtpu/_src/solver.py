@@ -284,7 +284,19 @@ def _ls_point(meta, quad_gauss, quad, Jaref, jv, efc_D, efc_frictionloss, mu,
     d0 = d0 + jnp.sum(jnp.where(top, 0.0, jnp.where(bottom, d_bot, d_mid)))
     d1 = d1 + jnp.sum(jnp.where(top, 0.0, jnp.where(bottom, dd_bot, dd_mid)))
 
-  d1 = d1 + (d1 == 0.0) * math.MINVAL
+  # Guard degenerate d1 (zero/noise-scale search direction: converged or
+  # frozen lanes) with a WHERE over the whole |d1| < MINVAL band, not the
+  # reference's additive `d1 + (d1==0)*MINVAL`.  Two AD hazards with the
+  # additive form: (a) it keeps d(d1_guarded)/d(d1) = 1, so the backward of
+  # the Newton candidate `alpha - d0/d1` multiplies cotangents by ~1/d1 on
+  # every degenerate lane, compounding across rollout steps into overflow;
+  # (b) a search direction of magnitude eps gives d1 ~ eps^2, whose square
+  # in the same backward (-d0/d1^2) underflows to 0 -> inf, and the masked
+  # lanes' `0 * inf = NaN` then poisons the whole gradient.  The where
+  # routes ZERO cotangent to all guarded lanes and bounds 1/d1 at 1/MINVAL;
+  # forward values only change where the candidate was rejected garbage
+  # (|phi''| < 1e-15 at meaninertia scale is never a physical bracket).
+  d1 = jnp.where(jnp.abs(d1) < math.MINVAL, math.MINVAL, d1)
   return _LSPoint(alpha=alpha, cost=cost, d0=d0, d1=d1)
 
 

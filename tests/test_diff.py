@@ -138,3 +138,42 @@ def test_roll_smooth_collisions_gradients():
   with mjtpu.differentiable_mode(smooth_collisions=True):
     g = jax.grad(deepest)(jnp.zeros(m.nq))
   assert np.isfinite(np.asarray(g)).all()
+
+
+def test_long_rollout_bounce_gradients_finite():
+  """Regression: gradients through a LONG rollout that crosses a contact
+  event must stay finite.  The linesearch's phi'' guard used to be the
+  reference's additive `d1 + (d1==0)*MINVAL` (solver.py:421 upstream),
+  whose backward multiplies cotangents by ~1/d1 on converged lanes and
+  underflows `d1**2` for noise-scale search directions — compounding over
+  a 60-step scan into inf*0 = NaN (every pre-fix config NaN'd here)."""
+  xml = """
+  <mujoco>
+    <option timestep="0.01"/>
+    <worldbody>
+      <geom type="plane" size="10 10 .1"/>
+      <body pos="0 0 1.0"><freejoint/>
+        <geom type="sphere" size="0.1" mass="0.2"/></body>
+    </worldbody>
+  </mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  m = mjtpu.put_model(mjm)
+  d0 = mjtpu.make_data(m)
+
+  def run(cfgkw):
+    with mjtpu.differentiable_mode(**cfgkw):
+      def loss(v0):
+        d = d0.replace(qvel=d0.qvel.at[:3].set(v0))
+        d, _ = jax.lax.scan(
+            lambda dd, _: (mjtpu.step(m, dd), None), d, None, length=60)
+        return jnp.sum(d.qpos[:2] ** 2)
+      return np.asarray(
+          jax.jit(jax.grad(loss))(jnp.array([0.3, 0.3, -0.3])))
+
+  g_plain = run({})
+  assert np.isfinite(g_plain).all(), g_plain
+  assert np.abs(g_plain[:2]).max() > 1e-3  # bounce actually moves the loss
+  g_smooth = run(dict(smooth_collisions=True, cfd=True, cfd_width=0.02))
+  assert np.isfinite(g_smooth).all(), g_smooth
+  # the smoothed gradient approximates the hard one (same sign, same order)
+  np.testing.assert_allclose(g_smooth[:2], g_plain[:2], rtol=0.25)
