@@ -1,5 +1,11 @@
-"""mjtpu.parallel — device-mesh sharding for the env batch."""
+"""mjtpu.parallel — device-mesh sharding + domain randomization."""
 
+from mjtpu.parallel.randomize import (
+    model_axes,
+    randomize,
+    randomized_step,
+    sharded_randomized_step,
+)
 from mjtpu.parallel.sharding import (
     env_sharding,
     make_mesh,
