@@ -49,11 +49,35 @@ def main():
   ap.add_argument("--rollout", type=int, default=32)
   ap.add_argument("--iters", type=int, default=20)
   ap.add_argument("--lr", type=float, default=3e-4)
+  ap.add_argument(
+      "--randomize", action="store_true",
+      help="domain randomization: per-env friction/gain/mass (+-20-30%%)")
   args = ap.parse_args()
 
   env = zoo.ENVS[args.env](dtype=jnp.float32)
   key = jax.random.PRNGKey(0)
   obs_dim, act_dim = env.observation_size, env.action_size
+
+  # domain randomization: every env trains under its own physics row
+  # (mjtpu.parallel.randomize; the policy must become robust to the sweep)
+  mb, m_axes = None, None
+  if args.randomize:
+    from mjtpu import parallel
+
+    mjm = env.mj_model
+    key, kf, kg, km = jax.random.split(key, 4)
+    B = args.num_envs
+    updates = {
+        "geom_friction": jnp.asarray(np.array(mjm.geom_friction))
+        * jax.random.uniform(kf, (B, mjm.ngeom, 1), minval=0.7, maxval=1.3),
+        "body_mass": jnp.asarray(np.array(mjm.body_mass))
+        * jax.random.uniform(km, (B, mjm.nbody), minval=0.8, maxval=1.2),
+    }
+    if mjm.nu:
+      updates["actuator_gainprm"] = (
+          jnp.asarray(np.array(mjm.actuator_gainprm))
+          * jax.random.uniform(kg, (B, mjm.nu, 1), minval=0.8, maxval=1.2))
+    mb, m_axes = parallel.randomize(env.model, updates)
 
   key, k1, k2 = jax.random.split(key, 3)
   pi_params = mlp_init(k1, [obs_dim, 64, 64, act_dim])
@@ -78,7 +102,10 @@ def main():
           axis=-1,
       )
       value = mlp(params["v"], state.obs)[..., 0]
-      next_state = jax.vmap(env.step)(state, act)
+      if mb is not None:
+        next_state = jax.vmap(env.step, in_axes=(0, 0, m_axes))(state, act, mb)
+      else:
+        next_state = jax.vmap(env.step)(state, act)
       out = (state.obs, act, logp, value, next_state.reward, next_state.done)
       return (next_state, key), out
 

@@ -3,6 +3,7 @@
 from mjtpu.parallel.randomize import (
     model_axes,
     randomize,
+    randomize_with_consts,
     randomized_step,
     sharded_randomized_step,
 )

@@ -224,6 +224,82 @@ def randomize(m: Model, updates: dict[str, Any]) -> tuple[Model, Model]:
   return mb, axes
 
 
+# mjModel fields mj_setConst derives from masses/inertias/geometry, mapped to
+# their traced Model paths (the stale-derived-constant caveat in the module
+# docstring; recomputed per env by `randomize_with_consts`)
+_CONST_FIELDS = (
+    "body_subtreemass",
+    "body_invweight0",
+    "dof_invweight0",
+    "dof_M0",
+    "tendon_invweight0",
+    "tendon_length0",
+    "actuator_acc0",
+)
+
+
+def randomize_with_consts(
+    mjm, m: Model, updates: dict[str, Any]
+) -> tuple[Model, Model]:
+  """`randomize`, plus exact per-env derived constants via ``mj_setConst``.
+
+  Randomizing masses/inertias/geometry leaves MuJoCo's derived constants
+  (``body_invweight0``, ``dof_M0``, ``stat.meaninertia``, ...) stale, which
+  skews constraint regularization and muscle normalization. This variant
+  writes each env's updates into a scratch copy of the source ``MjModel``,
+  runs C's ``mj_setConst``, and batches the recomputed constants alongside
+  the requested fields. Host-side setup cost is O(B) ``mj_setConst`` calls.
+
+  Args:
+    mjm: the ``mujoco.MjModel`` that ``m`` was built from.
+    m: the base Model from ``put_model(mjm)``.
+    updates: as in `randomize`; values must be concrete (host) arrays.
+
+  Returns:
+    ``(batched_model, axes)`` as in `randomize`, with the derived-constant
+    fields batched too.
+  """
+  import copy
+
+  import mujoco
+
+  for key, v in updates.items():
+    if not _is_concrete(v):
+      raise ValueError(
+          f"randomize_with_consts needs concrete update values ('{key}' is"
+          " a tracer): mj_setConst runs on the host at setup time."
+      )
+  B = next(iter(updates.values())).shape[0]
+  scratch = copy.copy(mjm)
+  d_scratch = mujoco.MjData(scratch)
+  derived: dict[str, list[np.ndarray]] = {k: [] for k in _CONST_FIELDS}
+  derived["stat.meaninertia"] = []
+  for i in range(B):
+    for key, v in updates.items():
+      tgt = scratch
+      *parents, leaf = key.split(".")
+      for p in parents:
+        tgt = getattr(tgt, p)
+      arr = getattr(tgt, leaf)
+      if np.ndim(arr):
+        arr[...] = np.asarray(v)[i]
+      else:  # scalar field (e.g. opt.timestep): not writable in place
+        setattr(tgt, leaf, np.asarray(v)[i].item())
+    mujoco.mj_setConst(scratch, d_scratch)
+    for name in _CONST_FIELDS:
+      derived[name].append(np.array(getattr(scratch, name)))
+    derived["stat.meaninertia"].append(np.float64(scratch.stat.meaninertia))
+  full = dict(updates)
+  for name, rows in derived.items():
+    if name in full:
+      continue  # caller supplied their own values: respect them
+    base = _resolve(m, name.split("."), name)
+    if base is None or not np.size(np.asarray(rows[0])):
+      continue  # absent subsystem (e.g. no tendons/actuators)
+    full[name] = np.stack(rows)
+  return randomize(m, full)
+
+
 def randomized_step(m: Model, updates: dict[str, Any]):
   """Convenience: jitted ``vmap(step)`` over per-env physics.
 

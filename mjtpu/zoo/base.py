@@ -127,10 +127,14 @@ class MjtpuEnv:
         self.model, data, width=w, height=h, camera=0, rd=self._render_data
     )
 
-  def reset(self, key: jax.Array) -> State:
+  def reset(self, key: jax.Array, model: Model | None = None) -> State:
+    """Resets one env. ``model`` overrides the env's Model for the physics
+    (domain randomization: pass one row of a `mjtpu.parallel.randomize`
+    batch, or vmap with its axes tree — see `step`)."""
+    m = self.model if model is None else model
     key, sub = jax.random.split(key)
     data = self._noisy_init(sub)
-    data = mjtpu.forward(self.model, data)
+    data = mjtpu.forward(m, data)
     obs = self._obs(data)
     zero = jnp.zeros((), obs.dtype)
     return State(
@@ -143,11 +147,23 @@ class MjtpuEnv:
         pixels=self._pixels(data),
     )
 
-  def step(self, state: State, action: jax.Array) -> State:
+  def step(self, state: State, action: jax.Array, model: Model | None = None
+           ) -> State:
+    """Steps one env. ``model`` overrides the env's Model for the physics —
+    the domain-randomization hook:
+
+        mb, axes = mjtpu.parallel.randomize(env.model, updates)
+        step = jax.jit(jax.vmap(env.step, in_axes=(0, 0, axes)))
+        state = step(states, actions, mb)   # env i runs physics row i
+
+    Observation/reward closures keep reading the env's base model constants
+    (sizes, healthy ranges); only the dynamics see the randomized fields.
+    """
+    m = self.model if model is None else model
     ctrl = self._prepare_ctrl(action)
     data = state.data.replace(ctrl=ctrl.astype(state.data.ctrl.dtype))
     for _ in range(self.frame_skip):
-      data = mjtpu.step(self.model, data)
+      data = mjtpu.step(m, data)
     reward, done = self._reward_done(state.data, data, action)
     steps = state.steps + 1
     done = done | (steps >= self.episode_length)
@@ -156,7 +172,7 @@ class MjtpuEnv:
     # zoo/base.py:325-329 semantics, traceable)
     key, sub = jax.random.split(state.key)
     fresh = self._noisy_init(sub)
-    fresh = mjtpu.forward(self.model, fresh)
+    fresh = mjtpu.forward(m, fresh)
     data = jax.tree.map(
         lambda a, b: jnp.where(done, a, b), fresh, data
     )

@@ -179,15 +179,25 @@ def test_pile_blocked_equals_dense(monkeypatch):
   monkeypatch.setenv("MJTPU_MASS_BLOCKS", "0")
   step_dense = jax.jit(lambda mm, dd: mjtpu.step(mm, dd))
   dn = step_dense(m, d0)  # trace with blocks off
+  # one-step acceleration agreement is the sharp bug detector: a wrong
+  # block mapping diverges O(1) immediately
+  np.testing.assert_allclose(
+      np.asarray(db.qacc), np.asarray(dn.qacc), atol=1e-9
+  )
   for _ in range(19):
     db = step_blocked(m, db)
     dn = step_dense(m, dn)
   assert bool((np.asarray(db.contact.dist) < 0).any()), "contacts must engage"
+  # blocked and dense factorizations are different summation orders; over
+  # 20 steps of chaotic pile contact the ULP-level difference amplifies and
+  # the growth rate is host-CPU-dependent (observed: 5e-8 qpos on one
+  # machine, 3e-6 qvel on another, same jaxpr). The one-step qacc check
+  # above is the correctness gate; this only pins "still on-trajectory".
   np.testing.assert_allclose(
-      np.asarray(db.qpos), np.asarray(dn.qpos), atol=1e-9
+      np.asarray(db.qpos), np.asarray(dn.qpos), atol=1e-4
   )
   np.testing.assert_allclose(
-      np.asarray(db.qvel), np.asarray(dn.qvel), atol=1e-8
+      np.asarray(db.qvel), np.asarray(dn.qvel), atol=1e-3
   )
 
 

@@ -201,6 +201,49 @@ def test_sphere_radius_randomization_parity():
   assert z[0] < z[1] < z[2]
 
 
+def test_randomize_with_consts_matches_fresh_put_model():
+  """Mass randomization with recomputed derived constants must bit-match a
+  from-scratch put_model of the modified MjModel (the strongest oracle:
+  every mj_setConst output the dynamics consume is covered)."""
+  import copy
+
+  mjm = load_mj("cartpole.xml")
+  m = mjtpu.put_model(mjm)
+  B = 3
+  mass = np.tile(np.array(mjm.body_mass), (B, 1))
+  mass[:, 1] *= [0.5, 1.0, 2.0]
+  mb, axes = parallel.randomize_with_consts(mjm, m, {"body_mass": mass})
+  # derived constants were batched and actually vary
+  assert axes.dof_M0 == 0 and axes.body_invweight0 == 0
+  assert axes.stat.meaninertia == 0
+  assert np.ptp(np.asarray(mb.dof_M0), axis=0).max() > 0
+
+  d0 = mjtpu.make_data(m).replace(
+      qpos=jnp.asarray([0.1, 0.2]), ctrl=jnp.asarray([0.6])
+  )
+  batch = jax.vmap(lambda _: d0)(jnp.arange(B))
+  step_b = jax.jit(jax.vmap(mjtpu.step, in_axes=(axes, 0)))
+  for _ in range(10):
+    batch = step_b(mb, batch)
+
+  step1 = jax.jit(mjtpu.step)
+  for i in range(B):
+    mjm_i = copy.copy(mjm)
+    mjm_i.body_mass[:] = mass[i]
+    mujoco.mj_setConst(mjm_i, mujoco.MjData(mjm_i))
+    mi = mjtpu.put_model(mjm_i)
+    di = d0
+    for _ in range(10):
+      di = step1(mi, di)
+    np.testing.assert_allclose(
+        np.asarray(batch.qpos[i]), np.asarray(di.qpos), atol=1e-12,
+        err_msg=f"env {i}: batched consts diverge from fresh put_model",
+    )
+    np.testing.assert_allclose(
+        np.asarray(batch.qvel[i]), np.asarray(di.qvel), atol=1e-12
+    )
+
+
 def test_sharded_randomized_step():
   if len(jax.devices()) < 8:
     pytest.skip("needs 8 (virtual) devices")

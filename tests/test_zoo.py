@@ -135,6 +135,39 @@ def test_satellite_plants(name):
   assert not bool(state.done)
 
 
+def test_randomized_model_step(cartpole):
+  """The env step's model hook: vmapping a `parallel.randomize` batch gives
+  every env its own physics (identical starts + actions must diverge)."""
+  from mjtpu import parallel
+
+  env = cartpole
+  B = 4
+  mass = jnp.tile(jnp.asarray(env.model.body_mass), (B, 1))
+  mass = mass.at[:, 1].multiply(jnp.asarray([0.5, 1.0, 1.5, 2.0]))
+  mb, axes = parallel.randomize(env.model, {"body_mass": mass})
+
+  state0 = env.reset(jax.random.PRNGKey(7))
+  states = jax.vmap(lambda _: state0)(jnp.arange(B))
+  acts = jnp.ones((B, env.action_size), state0.obs.dtype)
+  step = jax.jit(jax.vmap(env.step, in_axes=(0, 0, axes)))
+  for _ in range(5):
+    states = step(states, acts, mb)
+  assert np.isfinite(np.asarray(states.obs)).all()
+  # heavier carts accelerate less under the same push
+  xs = np.asarray(states.data.qpos)[:, 0]
+  assert np.std(xs) > 1e-5, xs
+  assert np.all(np.diff(xs) < 0), f"x should fall with mass: {xs}"
+
+  # passing the env's own model explicitly is the identity
+  ref = env.step(state0, jnp.ones((env.action_size,), state0.obs.dtype))
+  exp = env.step(
+      state0, jnp.ones((env.action_size,), state0.obs.dtype), env.model
+  )
+  np.testing.assert_array_equal(
+      np.asarray(ref.data.qpos), np.asarray(exp.data.qpos)
+  )
+
+
 def test_satellite_pixel_obs():
   """Pixel observations render through the env pipeline (scene lights)."""
   env = zoo.ENVS["satellite_small"](pixel_obs=True, pixel_size=(24, 32))
