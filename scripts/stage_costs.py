@@ -40,25 +40,40 @@ MODEL = os.environ.get("MJTPU_BENCH_MODEL", "humanoid_bench")
 BATCH = int(os.environ.get("MJTPU_BENCH_BATCH", "65536"))
 STEPS = int(os.environ.get("MJTPU_BENCH_STEPS", "200"))
 
-# (name, fn) in pipeline order; each fn: (m, d) -> Data
-STAGES = [
-    ("kinematics", smooth.kinematics),
-    ("com_pos", smooth.com_pos),
-    ("tendon", smooth.tendon),
-    ("crb", smooth.crb),
-    ("factor_m", smooth.factor_m),
-    ("collision", collision_driver.collision),
-    ("make_constraint", constraint.make_constraint),
-    ("transmission", smooth.transmission),
-    ("sensor_pos", sensor.sensor_pos),
-    ("fwd_velocity", forward.fwd_velocity),
-    ("sensor_vel", sensor.sensor_vel),
-    ("fwd_actuation", forward.fwd_actuation),
-    ("fwd_acceleration", forward.fwd_acceleration),
-    ("solve", solver.solve),
-    ("sensor_acc", sensor.sensor_acc),
-    ("euler", forward.euler),
-]
+def build_stages(m):
+  """(name, fn) in pipeline order, mirroring forward.fwd_* exactly —
+  including the conditional stages (tendon_armature only when the model
+  has one, forward.py fwd_position; solve skipped when count_constraints
+  yields nefc == 0, forward.py forward)."""
+  from mjtpu._src import support
+
+  stages = [
+      ("kinematics", smooth.kinematics),
+      ("com_pos", smooth.com_pos),
+      ("camlight", smooth.camlight),
+      ("tendon", smooth.tendon),
+      ("crb", smooth.crb),
+  ]
+  if m.has_tendon_armature:
+    stages.append(("tendon_armature", smooth.tendon_armature))
+  stages += [
+      ("factor_m", smooth.factor_m),
+      ("collision", collision_driver.collision),
+      ("make_constraint", constraint.make_constraint),
+      ("transmission", smooth.transmission),
+      ("sensor_pos", sensor.sensor_pos),
+      ("fwd_velocity", forward.fwd_velocity),
+      ("sensor_vel", sensor.sensor_vel),
+      ("fwd_actuation", forward.fwd_actuation),
+      ("fwd_acceleration", forward.fwd_acceleration),
+  ]
+  if support.count_constraints(m)[3] > 0:
+    stages.append(("solve", solver.solve))
+  stages += [
+      ("sensor_acc", sensor.sensor_acc),
+      ("euler", forward.euler),
+  ]
+  return stages
 
 
 def main():
@@ -95,7 +110,7 @@ def main():
 
   rows = []
   d_cur = batch
-  for name, fn in STAGES:
+  for name, fn in build_stages(m):
     f = jax.jit(jax.vmap(lambda dd, fn=fn: fn(m, dd)))
     try:
       ms = timeit(f, d_cur)
@@ -104,9 +119,13 @@ def main():
                    "pct_of_step": round(100 * ms / full_ms, 1)})
       print(f"# {name:18s} {ms:8.4f} ms  {100*ms/full_ms:5.1f}%",
             file=sys.stderr)
-    except Exception as e:  # noqa: BLE001 — keep profiling past one bad stage
+    except Exception as e:  # noqa: BLE001 — report the failure, then stop:
+      # d_cur was not advanced, so timing later stages would silently
+      # measure them on the wrong (previous stage's) input
       rows.append({"stage": name, "error": str(e)[:120]})
-      print(f"# {name:18s} ERROR {e}", file=sys.stderr)
+      print(f"# {name:18s} ERROR {e} — aborting remaining stages "
+            f"(stale input)", file=sys.stderr)
+      break
 
   print(json.dumps({
       "model": MODEL, "batch": BATCH,
