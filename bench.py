@@ -106,20 +106,16 @@ def _worker(result_path, deadline):
       mjm.qpos0[None] + rng.uniform(-0.01, 0.01, (batch, mjm.nq)),
       dtype=jnp.float32,
   )
-  # MJTPU_BENCH_CHUNKS=K splits the batch into K independent dispatches per
-  # step.  On the tunneled runtime a single dispatch past ~1.7 ms degrades
-  # catastrophically (CLAUDE.md); chunks keep each dispatch under the
-  # threshold while XLA pipelines across chunks (they carry no cross-chunk
-  # dependency).  K=1 (default) is the plain full-batch dispatch.
-  chunks = int(os.environ.get("MJTPU_BENCH_CHUNKS", "1"))
-  assert batch % chunks == 0, (batch, chunks)
+  # MJTPU_BENCH_CHUNKS splits the batch into K independent dispatches per
+  # step (engine helper: mjtpu.parallel.chunked_step).  On the tunneled
+  # runtime a single dispatch past ~1.7 ms degrades catastrophically
+  # (CLAUDE.md); chunks keep each dispatch under the threshold while XLA
+  # pipelines across chunks (no cross-chunk dependency).  "1" (default) is
+  # the plain full-batch dispatch; "auto" sizes K from compiled flops.
+  from mjtpu.parallel import chunked_step
+
+  chunks_env = os.environ.get("MJTPU_BENCH_CHUNKS", "1")
   batch_d = jax.vmap(lambda q: d0.replace(qpos=q))(qpos)
-  if chunks > 1:
-    batch_d = [
-        jax.tree.map(lambda x, i=i: x[i * (batch // chunks):
-                                      (i + 1) * (batch // chunks)], batch_d)
-        for i in range(chunks)
-    ]
 
   # solver iteration count is data-dependent (lax.while_loop); for batched
   # throughput the loop runs to the slowest env, exactly like the reference.
@@ -128,20 +124,18 @@ def _worker(result_path, deadline):
   # The Data batch is donated: step is state-in/state-out with identical
   # layouts, so XLA aliases the buffers and skips the defensive copies.
   donate = os.environ.get("MJTPU_BENCH_DONATE", "1") == "1"
-  step_fn = jax.jit(
-      jax.vmap(mjtpu.step, in_axes=(None, 0)),
-      donate_argnums=(1,) if donate else (),
+  stepper = chunked_step(
+      m, "auto" if chunks_env == "auto" else int(chunks_env), donate=donate
   )
+  batch_d = stepper.split(batch_d)
+  chunks = len(batch_d)
+  if chunks > 1:
+    _log(f"chunking: {chunks} dispatches of {batch // chunks} envs per step")
 
   def run(d, n):
-    if chunks > 1:
-      for _ in range(n):
-        d = [step_fn(m, c) for c in d]
-      jax.block_until_ready(d[-1].qpos)
-      return d
     for _ in range(n):
-      d = step_fn(m, d)
-    jax.block_until_ready(d.qpos)
+      d = stepper.step_parts(d)
+    jax.block_until_ready(d[-1].qpos)
     return d
 
   _log(f"compiling + warmup ({nwarm} steps, B={batch})")
@@ -152,13 +146,22 @@ def _worker(result_path, deadline):
     batch_d = run(batch_d, nwarm - 20)
   _log(f"warmup done: {time.perf_counter() - t0:.1f}s total")
 
-  def record(steps_per_sec, steps_measured):
+  # pre-compile the end-of-run finite check now (while nothing is on the
+  # clock) so the post-measurement check is a bare dispatch + 4-byte fetch;
+  # no host fetch happens here (block_until_ready only)
+  finite_fn = jax.jit(lambda q: jnp.isfinite(q).all(axis=1).mean())
+  check_slice = min(65536, batch_d[0].qpos.shape[0])
+  jax.block_until_ready(finite_fn(batch_d[0].qpos[:check_slice]))
+
+  def record(steps_per_sec, steps_measured, finite=None):
     result = {
         "metric": f"{model_name}_env_steps_per_sec_B{batch}",
         "value": round(steps_per_sec, 1),
         "unit": "env-steps/s",
         "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 4),
     }
+    if finite is not None:
+      result["finite"] = finite
     with open(result_path, "a") as fh:
       fh.write(json.dumps(result) + "\n")
       fh.flush()
@@ -196,31 +199,30 @@ def _worker(result_path, deadline):
 
   _log(f"worker finished: {done} measured steps in {len(rates)} blocks")
 
-  # integrity check, AFTER all results are on disk: fetch the on-device
-  # finite fraction in a daemon thread so a wedged transfer can't take the
-  # recorded numbers down with it
-  import threading
-
-  outcome = {}
-
-  def _check():
-    q = batch_d[0].qpos if chunks > 1 else batch_d.qpos
-    frac = jax.jit(lambda q: jnp.isfinite(q).all(axis=1).mean())(q)
-    outcome["finite_frac"] = float(frac)
-
-  th = threading.Thread(target=_check, daemon=True)
-  th.start()
-  th.join(timeout=max(5.0, deadline - time.perf_counter()))
-  if "finite_frac" not in outcome:
-    _log("finite check did not return (tunnel wedge) — results stand "
-         "unverified; engine-level _check_state resets non-finite envs "
-         "every step regardless")
-  elif outcome["finite_frac"] <= 0.95:
-    _log(f"FINITE CHECK FAILED: {outcome['finite_frac']:.1%}")
-    record(0.0, done)  # invalidate
+  # integrity check, AFTER all results are on disk: fetch the finite
+  # fraction of a <=64k env slice (device->host fetches at B>=128k hit
+  # RESOURCE_EXHAUSTED on this runtime and the r3 full-batch reduce wedged
+  # the tunnel — CLAUDE.md; a 64k slice is the verified-working size).
+  # MUST run on the main thread: fetches issued from a non-main thread
+  # never complete on this tunnel (measured 2026-08-20); main-thread
+  # fetches take ~0.1s on good days, ~100s on bad ones.  Every result is
+  # already flushed to disk, so a wedge here costs nothing — the parent's
+  # subprocess timeout (deadline+20) is the backstop.
+  _log("finite check: fetching (main thread; parent timeout is backstop)")
+  try:
+    q = batch_d[0].qpos  # one chunk (chunks=1: the full batch)
+    frac = float(finite_fn(q[:check_slice]))  # finite_fn compiled in warmup
+  except Exception as e:  # noqa: BLE001 — tunnel faults vary
+    _log(f"finite check errored ({e}) — results stand unverified; "
+         "engine-level _check_state resets non-finite envs every step")
   else:
-    _log(f"finite check ok: {outcome['finite_frac']:.1%} envs finite")
-  os._exit(0)  # don't let a hung fetch thread block interpreter shutdown
+    if frac <= 0.95:
+      _log(f"FINITE CHECK FAILED: {frac:.1%}")
+      record(0.0, done, finite=False)  # invalidate
+    else:
+      _log(f"finite check ok: {frac:.1%} envs finite (slice of {check_slice})")
+      if rates:
+        record(float(np.median(rates)), done, finite=True)
 
 
 # ----------------------------------------------------------------------------

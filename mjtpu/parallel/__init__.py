@@ -1,5 +1,6 @@
-"""mjtpu.parallel — device-mesh sharding + domain randomization."""
+"""mjtpu.parallel — device-mesh sharding, dispatch chunking, randomization."""
 
+from mjtpu.parallel.chunked import ChunkedStepper, chunked_step
 from mjtpu.parallel.randomize import (
     model_axes,
     randomize,

@@ -52,3 +52,73 @@ def test_sharded_rollout_stable(mesh8):
   for _ in range(50):
     batch = step_fn(batch)
   assert np.isfinite(np.asarray(batch.qpos)).all()
+
+
+# ----------------------------------------------------------------------------
+# dispatch chunking (mjtpu.parallel.chunked_step)
+# ----------------------------------------------------------------------------
+
+
+def _make_batch(m, mjm, batch):
+  d0 = mjtpu.make_data(m)
+  rng = np.random.default_rng(3)
+  qpos = jnp.asarray(mjm.qpos0[None] + rng.uniform(-0.05, 0.05, (batch, mjm.nq)))
+  return jax.vmap(lambda q: d0.replace(qpos=q))(qpos)
+
+
+@pytest.mark.parametrize("chunks", [2, 4])
+def test_chunked_matches_unchunked(chunks):
+  # spheres.xml exercises contacts + solver, the path chunking targets
+  mjm = load_mj("spheres.xml")
+  m = mjtpu.put_model(mjm)
+
+  ref = _make_batch(m, mjm, 8)
+  step = jax.jit(jax.vmap(mjtpu.step, in_axes=(None, 0)))
+  for _ in range(10):
+    ref = step(m, ref)
+
+  stepper = parallel.chunked_step(m, chunks=chunks)
+  parts = stepper.split(_make_batch(m, mjm, 8))
+  assert len(parts) == chunks
+  for _ in range(10):
+    parts = stepper.step_parts(parts)
+  out = stepper.join(parts)
+
+  np.testing.assert_allclose(np.asarray(out.qpos), np.asarray(ref.qpos),
+                             atol=1e-12)
+  np.testing.assert_allclose(np.asarray(out.qvel), np.asarray(ref.qvel),
+                             atol=1e-12)
+
+
+def test_chunked_oneshot_callable():
+  mjm = load_mj("cartpole.xml")
+  m = mjtpu.put_model(mjm)
+  ref = _make_batch(m, mjm, 8)
+  ref = jax.jit(jax.vmap(mjtpu.step, in_axes=(None, 0)))(m, ref)
+  out = parallel.chunked_step(m, chunks=2)(_make_batch(m, mjm, 8))
+  np.testing.assert_allclose(np.asarray(out.qpos), np.asarray(ref.qpos),
+                             atol=1e-12)
+
+
+def test_chunked_auto_picks_divisor():
+  mjm = load_mj("cartpole.xml")
+  m = mjtpu.put_model(mjm)
+  batch = _make_batch(m, mjm, 12)
+  # a tiny flop-rate prior inflates the time estimate -> K must rise, and
+  # must still divide B=12
+  stepper = parallel.chunked_step(m, chunks="auto", flop_rate=1e3,
+                                  target_ms=1.0)
+  k = stepper.resolve_chunks(batch)
+  assert k > 1 and 12 % k == 0
+  # a huge prior -> single dispatch
+  stepper = parallel.chunked_step(m, chunks="auto", flop_rate=1e30,
+                                  target_ms=1.0)
+  assert stepper.resolve_chunks(batch) == 1
+
+
+def test_chunked_rejects_nondivisor():
+  mjm = load_mj("cartpole.xml")
+  m = mjtpu.put_model(mjm)
+  batch = _make_batch(m, mjm, 8)
+  with pytest.raises(ValueError, match="does not divide"):
+    parallel.chunked_step(m, chunks=3).split(batch)
