@@ -14,6 +14,8 @@ are static.  Functions take world poses/sizes and return
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -295,10 +297,13 @@ def _manifold_points(pts, mask, depth, n, dtype):
   return idx, dup
 
 
-def convex_convex(
-    pos1, mat1, size1, pos2, mat2, size2, hull1: ConvexMesh, hull2: ConvexMesh
-):
-  """Full SAT hull-hull with face manifold clipping + edge-edge axes."""
+def _sat_winners_jnp(pos1, mat1, pos2, mat2, hull1: ConvexMesh,
+                     hull2: ConvexMesh):
+  """SAT axis-enumeration winners for one pair (the jnp reference path).
+
+  Returns (seps (3,), idx (4,) int32): seps = [sep1_best, sep2_best,
+  best_edge_sep], idx = [bf1, bf2, be1, be2] with the edge pair
+  re-selected by support along the winning axis."""
   dtype = pos1.dtype
   v1, fv1, fn1, ev1 = _hull_consts(hull1, dtype)
   v2, fv2, fn2, ev2 = _hull_consts(hull2, dtype)
@@ -308,16 +313,16 @@ def convex_convex(
   w2 = pos2 + v2 @ mat2.T
   n1 = fn1 @ mat1.T
   n2 = fn2 @ mat2.T
-  f1 = pos1 + jnp.einsum("fkd,xd->fkx", fv1, mat1)
-  f2 = pos2 + jnp.einsum("fkd,xd->fkx", fv2, mat2)
+  f1_0 = pos1 + fv1[:, 0] @ mat1.T
+  f2_0 = pos2 + fv2[:, 0] @ mat2.T
 
   # --- face axes of hull1: separation of hull2 behind each face ---
-  off1 = jnp.einsum("fd,fd->f", n1, f1[:, 0])
+  off1 = jnp.einsum("fd,fd->f", n1, f1_0)
   sep1 = jnp.min(w2 @ n1.T, axis=0) - off1  # (nf1,)
   bf1 = jnp.argmax(sep1)
 
   # --- face axes of hull2 ---
-  off2 = jnp.einsum("fd,fd->f", n2, f2[:, 0])
+  off2 = jnp.einsum("fd,fd->f", n2, f2_0)
   sep2 = jnp.min(w1 @ n2.T, axis=0) - off2
   bf2 = jnp.argmax(sep2)
 
@@ -361,12 +366,117 @@ def convex_convex(
   bp = jnp.argmax(pair_score.reshape(-1))
   be1, be2 = bp // sep_e.shape[1], bp % sep_e.shape[1]
 
-  best_face_sep = jnp.maximum(sep1[bf1], sep2[bf2])
+  seps = jnp.stack([sep1[bf1], sep2[bf2], best_edge_sep])
+  idx = jnp.stack([bf1, bf2, be1, be2]).astype(jnp.int32)
+  return seps, idx
+
+
+def _sat_kernel_enabled(hull1: ConvexMesh, hull2: ConvexMesh, dtype) -> bool:
+  """Trace-time gate for the Pallas SAT kernel (MJTPU_PALLAS_SAT=auto|1|0).
+
+  auto: on for f32 on the TPU backend when the (ne1, ne2, TILE_B) working
+  set fits VMEM; 1 forces it on any backend (interpret mode off-TPU — used
+  by the CPU parity tests); 0 disables."""
+  knob = os.environ.get("MJTPU_PALLAS_SAT", "auto")
+  if knob == "0":
+    return False
+  if dtype == jnp.float64:
+    return False  # Mosaic has no f64; parity suite exercises via knob=1 f32
+  from mjtpu.ops import sat as sat_mod
+
+  if sat_mod.sat_vmem_bytes(hull1, hull2) > 10 * 2**20:
+    return False
+  try:
+    backend = jax.default_backend()
+  except RuntimeError:  # pragma: no cover
+    return False
+  return backend == "tpu" or knob == "1"
+
+
+def _sat_winners(pos1, mat1, pos2, mat2, hull1: ConvexMesh,
+                 hull2: ConvexMesh):
+  """Per-pair SAT winners; under vmap the whole batch runs in the Pallas
+  kernel (mjtpu/ops/sat.py) through a two-level custom_vmap seam: the
+  first level (pairs) dispatches the batch, the second (envs over pairs)
+  flattens (B, npair) into one kernel batch.  Differentiated traces use
+  the jnp path unconditionally (custom_vmap defines no AD rules)."""
+  if get_diff_config() is not None or not _sat_kernel_enabled(
+      hull1, hull2, pos1.dtype):
+    return _sat_winners_jnp(pos1, mat1, pos2, mat2, hull1, hull2)
+
+  from mjtpu.ops import sat as sat_mod
+
+  try:
+    interpret = jax.default_backend() != "tpu"
+  except RuntimeError:  # pragma: no cover
+    interpret = True
+
+  @jax.custom_batching.custom_vmap
+  def _batched(p1, m1, p2, m2):
+    return sat_mod.sat_winners_batch(
+        p1, m1, p2, m2, hull1, hull2, interpret=interpret)
+
+  @_batched.def_vmap
+  def _batched_vmap(axis_size, in_batched, p1, m1, p2, m2):
+    del axis_size
+    assert all(in_batched), "env batch must cover all pose operands"
+    b, n = p1.shape[:2]
+    flat = lambda x: x.reshape((b * n,) + x.shape[2:])
+    seps, idx = _batched(flat(p1), flat(m1), flat(p2), flat(m2))
+    return (seps.reshape(b, n, 3), idx.reshape(b, n, 4)), (True, True)
+
+  @jax.custom_batching.custom_vmap
+  def _per_pair(p1, m1, p2, m2):
+    return _sat_winners_jnp(p1, m1, p2, m2, hull1, hull2)
+
+  @_per_pair.def_vmap
+  def _per_pair_vmap(axis_size, in_batched, p1, m1, p2, m2):
+    if not all(in_batched):
+      bc = lambda x, batched: x if batched else jnp.broadcast_to(
+          x, (axis_size,) + x.shape)
+      p1, m1, p2, m2 = (bc(x, bt) for x, bt in
+                        zip((p1, m1, p2, m2), in_batched))
+    seps, idx = _batched(p1, m1, p2, m2)
+    return (seps, idx), (True, True)
+
+  return _per_pair(pos1, mat1, pos2, mat2)
+
+
+def convex_convex(
+    pos1, mat1, size1, pos2, mat2, size2, hull1: ConvexMesh, hull2: ConvexMesh
+):
+  """Full SAT hull-hull with face manifold clipping + edge-edge axes.
+
+  The axis-enumeration stage (face separations + ne1*ne2 edge-cross
+  separations with vertex-set projections) runs through _sat_winners —
+  the Pallas kernel on TPU, the jnp path elsewhere; manifold clipping
+  consumes only the winners and stays in XLA."""
+  dtype = pos1.dtype
+  v1, fv1, fn1, ev1 = _hull_consts(hull1, dtype)
+  v2, fv2, fn2, ev2 = _hull_consts(hull2, dtype)
+
+  # world-frame geometry for the manifold/edge-contact stage
+  w1 = pos1 + v1 @ mat1.T
+  w2 = pos2 + v2 @ mat2.T
+  n1 = fn1 @ mat1.T
+  n2 = fn2 @ mat2.T
+  f1 = pos1 + jnp.einsum("fkd,xd->fkx", fv1, mat1)
+  f2 = pos2 + jnp.einsum("fkd,xd->fkx", fv2, mat2)
+  c1 = jnp.mean(w1, axis=0)
+  c2 = jnp.mean(w2, axis=0)
+
+  seps, idx = _sat_winners(pos1, mat1, pos2, mat2, hull1, hull2)
+  sep1_best, sep2_best, best_edge_sep = seps[0], seps[1], seps[2]
+  bf1, bf2, be1, be2 = idx[0], idx[1], idx[2], idx[3]
+
+  best_face_sep = jnp.maximum(sep1_best, sep2_best)
   use_edge = best_edge_sep > best_face_sep + _EDGE_TOL
 
-  # --- edge-edge contact ---
+  # --- edge-edge contact: transform only the winning pair's endpoints ---
+  e1 = pos1 + ev1[be1] @ mat1.T  # (2, 3)
+  e2 = pos2 + ev2[be2] @ mat2.T
   pa, pb = math.closest_segment_to_segment_points(
-      e1a[be1], e1b[be1], e2a[be2], e2b[be2]
+      e1[0], e1[1], e2[0], e2[1]
   )
   n_edge, _ = math.normalize_with_norm(pb - pa)
   n_edge = jnp.where(
@@ -376,7 +486,7 @@ def convex_convex(
   edge_pos = 0.5 * (pa + pb)
 
   # --- face-face manifold: reference face on the hull with larger sep ---
-  ref_is_1 = sep1[bf1] >= sep2[bf2]
+  ref_is_1 = sep1_best >= sep2_best
 
   def manifold(ref_face_verts, ref_n, inc_faces, inc_normals):
     """Clip incident face (most anti-parallel) against ref side planes."""
@@ -444,7 +554,7 @@ def convex_convex(
   d_a, p_a = manifold(f1[bf1], n1[bf1], f2, n2)
   d_b, p_b = manifold(f2[bf2], n2[bf2], f1, n1)
   k = _smooth_k()
-  s_ref = sep1[bf1] - sep2[bf2]  # > 0 -> hull1 is the reference face
+  s_ref = sep1_best - sep2_best  # > 0 -> hull1 is the reference face
   # for hull2-reference the contact normal (geom1 -> geom2) is -ref_n
   if k is None:
     n_face = jnp.where(ref_is_1, n1[bf1], -n2[bf2])

@@ -338,14 +338,22 @@ def solve(m: Model, d: Data, fixed_iterations: bool = False) -> Data:
   # matrix-free with PCG preconditioned by H's per-tree diagonal blocks
   # instead of materializing and densely factoring the (nv, nv) Hessian —
   # O(iters · (nefc·nv + Σ bs²)) instead of O(nv³) per Newton step
-  # (SURVEY.md §7 hard-part #1).  Trace-time gate: multi-tree block
-  # structure, nv past the dense crossover, and not a differentiated trace
-  # (the PCG while_loop has no reverse rule).
+  # (SURVEY.md §7 hard-part #1).  OFF by default: although it wins the FLOP
+  # count, its ~32 sequential PCG while_loop iterations are small
+  # latency-bound matvec regions, while the dense path is two MXU matmuls +
+  # the Pallas fused Cholesky — measured on TPU v5e, dense runs settled
+  # scene_pile (nv=192, B=512) at ~1.3M steps/s vs blockpcg's tens of ms per
+  # dispatch (round-3 numbers claiming the reverse were contaminated by the
+  # fetch-degradation artifact; see scripts/ab_newton_r4.py).  Opt in with
+  # MJTPU_NEWTON_PCG=1 for memory-bound cases where (nv, nv) per env does
+  # not fit.  Trace-time gate: multi-tree block structure, nv past the dense
+  # crossover, and not a differentiated trace (the PCG while_loop has no
+  # reverse rule).
   _blocks = smooth.mass_blocks(m) if newton else None
   use_pcg = (
       _blocks is not None
       and m.nv >= int(os.environ.get("MJTPU_NEWTON_PCG_MIN_NV", "64"))
-      and os.environ.get("MJTPU_NEWTON_PCG", "1") != "0"
+      and os.environ.get("MJTPU_NEWTON_PCG", "0") == "1"
       and get_diff_config() is None
   )
 

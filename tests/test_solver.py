@@ -201,19 +201,20 @@ def test_blocked_newton_pcg_matches_dense():
 
   d0 = mjtpu.make_data(m)
   # both paths are trace-time knobs: trace each under its own env setting
-  step_pcg = jax.jit(lambda m_, d_: mjtpu.step(m_, d_))
-  d_p = d0
-  for _ in range(50):
-    d_p = step_pcg(m, d_p)
-
-  os.environ["MJTPU_NEWTON_PCG"] = "0"
+  # (blockpcg is opt-in since r4 — dense wins on TPU; see solver.py)
+  os.environ["MJTPU_NEWTON_PCG"] = "1"
   try:
-    step_dense = jax.jit(lambda m_, d_: mjtpu.step(m_, d_))
-    d_d = d0
+    step_pcg = jax.jit(lambda m_, d_: mjtpu.step(m_, d_))
+    d_p = d0
     for _ in range(50):
-      d_d = step_dense(m, d_d)
+      d_p = step_pcg(m, d_p)
   finally:
     del os.environ["MJTPU_NEWTON_PCG"]
+
+  step_dense = jax.jit(lambda m_, d_: mjtpu.step(m_, d_))
+  d_d = d0
+  for _ in range(50):
+    d_d = step_dense(m, d_d)
 
   for _ in range(50):
     mujoco.mj_step(mjm, mjd)
