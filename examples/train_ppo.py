@@ -42,20 +42,24 @@ def mlp(params, x):
   return x
 
 
-def main():
+def main(argv=None):
   ap = argparse.ArgumentParser()
   ap.add_argument("--env", default="halfcheetah")
   ap.add_argument("--num-envs", type=int, default=512)
   ap.add_argument("--rollout", type=int, default=32)
   ap.add_argument("--iters", type=int, default=20)
   ap.add_argument("--lr", type=float, default=3e-4)
+  ap.add_argument("--seed", type=int, default=0)
+  ap.add_argument(
+      "--log-jsonl", default=None,
+      help="append one JSON row per iteration (learning-curve artifact)")
   ap.add_argument(
       "--randomize", action="store_true",
       help="domain randomization: per-env friction/gain/mass (+-20-30%%)")
-  args = ap.parse_args()
+  args = ap.parse_args(argv)
 
   env = zoo.ENVS[args.env](dtype=jnp.float32)
-  key = jax.random.PRNGKey(0)
+  key = jax.random.PRNGKey(args.seed)
   obs_dim, act_dim = env.observation_size, env.action_size
 
   # domain randomization: every env trains under its own physics row
@@ -161,6 +165,8 @@ def main():
     params = optax.apply_updates(params, updates)
     return params, opt_state, state, key, loss, reward.mean()
 
+  rewards = []
+  log_f = open(args.log_jsonl, "a") if args.log_jsonl else None
   for it in range(args.iters):
     t0 = time.perf_counter()
     params, opt_state, state, key, loss, mean_rew = train_iter(
@@ -170,10 +176,25 @@ def main():
     sps = args.num_envs * args.rollout * env.frame_skip / (
         time.perf_counter() - t0
     )
+    rewards.append(float(mean_rew))
     print(
         f"iter {it:3d}  loss {float(loss):8.4f}  reward {float(mean_rew):8.4f}"
         f"  {sps:,.0f} env-steps/s"
     )
+    if log_f:
+      import json
+
+      log_f.write(json.dumps({
+          "env": args.env, "seed": args.seed, "iter": it,
+          "loss": float(loss), "mean_reward": float(mean_rew),
+          "env_steps_per_sec": round(sps),
+          "env_steps": (it + 1) * args.num_envs * args.rollout
+          * env.frame_skip,
+      }) + "\n")
+      log_f.flush()
+  if log_f:
+    log_f.close()
+  return rewards
 
 
 if __name__ == "__main__":

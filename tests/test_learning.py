@@ -1,0 +1,45 @@
+"""End-to-end learning smoke test (reference gpu-tests.yml:11-31 runs the
+training examples in CI): a seeded, minutes-scale PPO run on cartpole must
+improve mean reward.  An engine bug that corrupts gradients or auto-reset
+statistics passes every parity test but fails this.
+
+Run manually / in CI with:  pytest tests/test_learning.py -m integration
+"""
+
+import importlib.util
+import pathlib
+import statistics
+
+import pytest
+
+_EXAMPLES = pathlib.Path(__file__).resolve().parent.parent / "examples"
+
+
+def _load_train_ppo():
+  spec = importlib.util.spec_from_file_location(
+      "train_ppo", _EXAMPLES / "train_ppo.py"
+  )
+  mod = importlib.util.module_from_spec(spec)
+  spec.loader.exec_module(mod)
+  return mod
+
+
+@pytest.mark.integration
+def test_ppo_cartpole_learns():
+  """Causal learning check: a seeded cartpole PPO run must end with higher
+  mean rollout reward than the IDENTICAL run with lr ~ 0 (same seed, same
+  noise, same auto-reset dynamics — the only difference is whether the
+  gradient updates do anything).  Calibration (2026-08-20, CPU f64
+  backend): learner last-10 mean ~0.955, control ~0.89; threshold 0.03
+  leaves 2x headroom."""
+  mod = _load_train_ppo()
+  common = ["--env", "cartpole", "--num-envs", "256", "--rollout", "16",
+            "--iters", "200", "--seed", "0"]
+  learner = mod.main(common + ["--lr", "1e-2"])
+  control = mod.main(common + ["--lr", "1e-9"])
+  lm = statistics.mean(learner[-10:])
+  cm = statistics.mean(control[-10:])
+  assert lm > cm + 0.03, (
+      f"no learning: learner last-10 mean reward {lm:.4f} vs lr~0 control "
+      f"{cm:.4f}; learner curve tail={[round(r, 3) for r in learner[-20:]]}"
+  )
