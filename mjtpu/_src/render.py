@@ -10,8 +10,10 @@ Texture support (reference render.py texture sampling): 2d material
 textures are sampled nearest-neighbor with wrap for PLANE (xy), BOX
 (dominant-axis projection) and SPHERE (equirectangular) geoms; other
 textured geoms fall back to their material rgba.  Skybox textures shade
-sky pixels via an equirectangular lookup (cube layouts are approximated;
-MuJoCo's builtin vertical-gradient skyboxes reproduce closely).
+sky pixels with true 6-face cube sampling on the ray direction (MuJoCo
+stores skyboxes as a 6-face vertical stack, H == 6W, face order
+right/left/up/down/front/back; a single square image repeats on all
+faces); non-cube-layout skyboxes fall back to an equirectangular lookup.
 """
 
 from __future__ import annotations
@@ -392,9 +394,14 @@ def render_rgbd(
     if background is not None:
       sky = jnp.asarray(background, dtype)
     elif sky_img is not None:
-      u = jnp.arctan2(vec[1], vec[0]) / (2.0 * jnp.pi) + 0.5
-      v = 0.5 - jnp.arcsin(jnp.clip(vec[2], -1.0, 1.0)) / jnp.pi
-      sky = _sample_tex(sky_img, jnp.stack([u, v]))
+      sh, sw = rd.sky_tex.shape[0], rd.sky_tex.shape[1]
+      if sh % sw == 0 and sh // sw in (1, 6):
+        # MuJoCo cube layout: 6 stacked faces (or one square on all faces)
+        sky = _cube_albedo(vec, sky_img)
+      else:
+        u = jnp.arctan2(vec[1], vec[0]) / (2.0 * jnp.pi) + 0.5
+        v = 0.5 - jnp.arcsin(jnp.clip(vec[2], -1.0, 1.0)) / jnp.pi
+        sky = _sample_tex(sky_img, jnp.stack([u, v]))
     else:
       sky = jnp.asarray([0.55, 0.7, 0.9], dtype)
     return jnp.where(hit, jnp.clip(color, 0.0, 1.0), sky), depth, seg

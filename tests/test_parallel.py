@@ -54,6 +54,50 @@ def test_sharded_rollout_stable(mesh8):
   assert np.isfinite(np.asarray(batch.qpos)).all()
 
 
+def test_randomized_sharded_rollout_matches_unsharded(mesh8):
+  """Randomize x sharding composition (SURVEY.md §2.8 TPU-native column):
+  a domain-randomized batched Model shards its per-env rows on the env
+  axis alongside Data, and a multi-step sharded rollout matches the
+  unsharded randomized rollout per env at 1e-12."""
+  mjm = load_mj("cartpole.xml")
+  m = mjtpu.put_model(mjm)
+  B = 16
+  rng = np.random.default_rng(7)
+  mass = np.asarray(mjm.body_mass)[None] * rng.uniform(0.6, 1.4, (B, mjm.nbody))
+  gain = np.tile(np.asarray(mjm.actuator_gainprm), (B, 1, 1))
+  gain[:, :, 0] *= rng.uniform(0.8, 1.2, (B, mjm.nu))
+  updates = {"body_mass": jnp.asarray(mass),
+             "actuator_gainprm": jnp.asarray(gain)}
+
+  d0 = mjtpu.make_data(m).replace(
+      qpos=jnp.asarray(rng.uniform(-0.1, 0.1, mjm.nq)),
+      ctrl=jnp.asarray(rng.uniform(-0.5, 0.5, mjm.nu)),
+  )
+  batch = jax.vmap(lambda _: d0)(jnp.arange(B))
+
+  ref_step, _ = parallel.randomized_step(m, updates)
+  ref = batch
+  for _ in range(10):
+    ref = ref_step(ref)
+
+  step_fn, mb = parallel.sharded_randomized_step(m, updates, mesh8)
+  # randomized Model leaves shard on the env axis; others replicate
+  assert len(mb.body_mass.sharding.device_set) == 8
+  assert not mb.body_mass.sharding.is_fully_replicated
+  assert mb.qpos0.sharding.is_fully_replicated
+  out = parallel.shard_batch(batch, mesh8)
+  for _ in range(10):
+    out = step_fn(out)
+
+  np.testing.assert_allclose(
+      np.asarray(out.qpos), np.asarray(ref.qpos), atol=1e-12
+  )
+  np.testing.assert_allclose(
+      np.asarray(out.qvel), np.asarray(ref.qvel), atol=1e-12
+  )
+  assert len(out.qpos.sharding.device_set) == 8
+
+
 # ----------------------------------------------------------------------------
 # dispatch chunking (mjtpu.parallel.chunked_step)
 # ----------------------------------------------------------------------------

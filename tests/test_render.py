@@ -209,6 +209,103 @@ def test_scene_lights_opt_out():
   assert np.isfinite(img).all() and img.mean() > 0.1
 
 
+def test_cube_skybox_faces():
+  """Skybox cube layout (H == 6W, face order right/left/up/down/front/back)
+  is sampled per-face: looking along each axis returns that face's color
+  (reference render.py skybox sampling; MuJoCo stores builtin skyboxes as
+  a 6-face vertical stack)."""
+  # cameras look along +x/-x/+y/-y/+z/-z (view dir = -z of camera frame)
+  xml = """<mujoco>
+  <asset><texture name="sky" type="skybox" builtin="flat" rgb1="1 1 1"
+                  width="8" height="48"/></asset>
+  <worldbody>
+    <camera name="xp" xyaxes="0 -1 0 0 0 1"/>
+    <camera name="xn" xyaxes="0 1 0 0 0 1"/>
+    <camera name="yp" xyaxes="1 0 0 0 0 1"/>
+    <camera name="yn" xyaxes="-1 0 0 0 0 1"/>
+    <camera name="zp" xyaxes="1 0 0 0 -1 0"/>
+    <camera name="zn" xyaxes="1 0 0 0 1 0"/>
+    <geom type="sphere" size=".01" pos="100 100 100"/>
+  </worldbody>
+  </mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  tid = int(np.flatnonzero(np.atleast_1d(mjm.tex_type) == 2)[0])
+  w, h = int(mjm.tex_width[tid]), int(mjm.tex_height[tid])
+  assert h == 6 * w
+  face_colors = np.array(
+      [[1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 0], [1, 0, 1], [0, 1, 1]],
+      np.float64)
+  img = np.zeros((h, w, 3))
+  for f in range(6):
+    img[f * w : (f + 1) * w] = face_colors[f]
+  adr = int(mjm.tex_adr[tid])
+  mjm.tex_data[adr : adr + h * w * 3] = np.round(
+      img.reshape(-1) * 255).astype(np.uint8)
+  m = mjtpu.put_model(mjm)
+  d = mjtpu.forward(m, mjtpu.make_data(m))
+  rd = mjtpu.precompute_render_data(m)
+  # camera order above maps +x,-x,+y,-y,+z,-z onto MuJoCo face indices
+  # right(0), left(1), front(4), back(5), up(2), down(3)
+  expected = face_colors[[0, 1, 4, 5, 2, 3]]
+  for cam in range(6):
+    out = np.asarray(mjtpu.render(m, d, width=5, height=5, camera=cam, rd=rd))
+    np.testing.assert_allclose(out[2, 2], expected[cam], atol=2 / 255,
+                               err_msg=f"camera {cam}")
+
+
+def test_single_square_skybox_repeats():
+  """A one-square skybox image (H == W, e.g. loaded from a single PNG)
+  repeats the same image on all faces.  MuJoCo expands builtins to the
+  6-face stack, so the square layout is injected via RenderData."""
+  import dataclasses
+
+  xml = """<mujoco>
+  <worldbody>
+    <camera name="xp" xyaxes="0 -1 0 0 0 1"/>
+    <camera name="zn" xyaxes="1 0 0 0 1 0"/>
+    <geom type="sphere" size=".01" pos="100 100 100"/>
+  </worldbody>
+  </mujoco>"""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  m = mjtpu.put_model(mjm)
+  d = mjtpu.forward(m, mjtpu.make_data(m))
+  rd = mjtpu.precompute_render_data(m)
+  sky = np.full((8, 8, 3), [0.2, 0.9, 0.4])
+  rd = dataclasses.replace(rd, sky_tex=sky)
+  for cam in range(2):
+    out = np.asarray(mjtpu.render(m, d, width=5, height=5, camera=cam, rd=rd))
+    np.testing.assert_allclose(out[2, 2], [0.2, 0.9, 0.4], atol=2 / 255)
+
+
+def test_spot_cutoff_boundary_radius():
+  """The spot's lit disc on the floor ends at r = h·tan(cutoff): the
+  cutoff test in _shade_scene_lights is a hard angular boundary, so the
+  measured lit radius tracks the cutoff angle quantitatively."""
+  xml = """<mujoco>
+  <worldbody>
+    <camera name="c" pos="0 0 6" xyaxes="1 0 0 0 1 0" fovy="90"/>
+    <light name="s" pos="0 0 3" dir="0 0 -1" diffuse="1 1 1"
+           ambient="0 0 0" specular="0 0 0" cutoff="{cut}"
+           castshadow="false" attenuation="1 0 0"/>
+    <geom type="plane" size="8 8 .1" rgba="1 1 1 1"/>
+  </worldbody>
+  </mujoco>"""
+  for cut in (20.0, 40.0):
+    mjm = mujoco.MjModel.from_xml_string(xml.format(cut=cut))
+    m = mjtpu.put_model(mjm)
+    d = mjtpu.forward(m, mjtpu.make_data(m))
+    rd = mjtpu.precompute_render_data(m)
+    n = 96
+    img = np.asarray(mjtpu.render(m, d, width=n, height=n, rd=rd)).mean(-1)
+    # overhead fovy=90 camera at z=6: half-width at the floor is 6 m
+    xs = np.linspace(-6, 6, n)
+    lit_cols = np.abs(xs)[img[n // 2] > 1e-3]
+    assert lit_cols.size, f"cutoff {cut}: nothing lit"
+    r_measured = lit_cols.max()
+    r_expected = 3.0 * np.tan(np.radians(cut))
+    assert abs(r_measured - r_expected) < 0.25, (cut, r_measured, r_expected)
+
+
 def test_render_batch(scene):
   m, d, rd = scene
   batch = jax.tree.map(lambda x: jnp.stack([x, x]), d)

@@ -124,3 +124,63 @@ def test_old_bindings_field_fallbacks():
   np.testing.assert_allclose(
       np.asarray(d_old.qpos), np.asarray(d_new.qpos), atol=1e-12
   )
+
+
+def test_old_bindings_trajectory_matches_c():
+  """Behavior-level version dispatch (reference version_compat_test.py):
+  a Model built through the 3.3-era field layout must still reproduce the
+  C trajectory — not merely resolve enums.  A wrong getattr default
+  (light_active zeros, garbage tendon_armature) changes qM/passive forces
+  and this diverges."""
+  import jax
+  import jax.numpy as jnp
+
+  import mjtpu
+  from tests.conftest import load_mj
+
+  mjm = load_mj("friction_tendon.xml")
+  mjd = mujoco.MjData(mjm)
+  rng = np.random.default_rng(3)
+  mjd.qpos[:] = mjm.qpos0 + rng.uniform(-0.1, 0.1, mjm.nq)
+  mjd.qvel[:] = rng.uniform(-0.1, 0.1, mjm.nv)
+
+  m_old = mjtpu.put_model(_OldBindings(mjm))
+  d = mjtpu.make_data(m_old).replace(
+      qpos=jnp.asarray(np.array(mjd.qpos)),
+      qvel=jnp.asarray(np.array(mjd.qvel)),
+  )
+  step = jax.jit(mjtpu.step)
+  for _ in range(50):
+    mujoco.mj_step(mjm, mjd)
+    d = step(m_old, d)
+  np.testing.assert_allclose(np.asarray(d.qpos), mjd.qpos, atol=1e-10)
+  np.testing.assert_allclose(np.asarray(d.qvel), mjd.qvel, atol=1e-10)
+
+
+def test_old_bindings_sensors_match_c():
+  """Sensor pipeline through the 3.3-era layout (no sensor_intprm /
+  light_active fields): sensordata must match C exactly.  If the
+  sensor_intprm zero-default were wrong, intprm-consuming sensors would
+  read garbage parameters here."""
+  import jax
+  import jax.numpy as jnp
+
+  import mjtpu
+  from tests.conftest import load_mj
+
+  mjm = load_mj("sensors.xml")
+  mjd = mujoco.MjData(mjm)
+  rng = np.random.default_rng(5)
+  mjd.qpos[:] = mjm.qpos0 + rng.uniform(-0.05, 0.05, mjm.nq)
+  mjd.qvel[:] = rng.uniform(-0.05, 0.05, mjm.nv)
+  mujoco.mj_forward(mjm, mjd)
+
+  m_old = mjtpu.put_model(_OldBindings(mjm))
+  d = mjtpu.make_data(m_old).replace(
+      qpos=jnp.asarray(np.array(mjd.qpos)),
+      qvel=jnp.asarray(np.array(mjd.qvel)),
+  )
+  d = jax.jit(mjtpu.forward)(m_old, d)
+  np.testing.assert_allclose(
+      np.asarray(d.sensordata), mjd.sensordata, atol=1e-9
+  )
