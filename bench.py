@@ -153,6 +153,16 @@ def _worker(result_path, deadline):
   check_slice = min(65536, batch_d[0].qpos.shape[0])
   jax.block_until_ready(finite_fn(batch_d[0].qpos[:check_slice]))
 
+  # roofline accounting (free: the executable is already compiled/cached)
+  from mjtpu import perf
+
+  try:
+    compiled = stepper._jit.lower(m, batch_d[0]).compile()
+  except Exception:  # noqa: BLE001 — keep the bench alive without roofline
+    compiled = None
+  dispatch_batch = batch // chunks
+  device_kind = jax.devices()[0].device_kind
+
   def record(steps_per_sec, steps_measured, finite=None):
     result = {
         "metric": f"{model_name}_env_steps_per_sec_B{batch}",
@@ -160,6 +170,10 @@ def _worker(result_path, deadline):
         "unit": "env-steps/s",
         "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 4),
     }
+    if compiled is not None:
+      result.update(
+          perf.roofline(compiled, steps_per_sec, dispatch_batch, device_kind)
+      )
     if finite is not None:
       result["finite"] = finite
     with open(result_path, "a") as fh:

@@ -65,15 +65,25 @@ def bench_one(model_name: str, batch: int, nsteps: int, nwarm: int) -> dict:
   jax.block_until_ready(batch_d.qpos)
   elapsed = time.perf_counter() - t0
 
-  return {
+  steps_per_sec = batch * nsteps / elapsed
+  row = {
       "model": model_name,
       "batch": batch,
       "nsteps": nsteps,
       "compile_s": round(compile_s, 2),
-      "steps_per_sec": round(batch * nsteps / elapsed, 1),
+      "steps_per_sec": round(steps_per_sec, 1),
       "ms_per_batched_step": round(elapsed / nsteps * 1e3, 4),
       "device": jax.devices()[0].device_kind,
   }
+  # roofline columns (MFU / bandwidth %-of-peak) from the compiled step
+  from mjtpu import perf
+
+  try:
+    compiled = step.lower(m, batch_d).compile()  # cache hit: already built
+    row.update(perf.roofline(compiled, steps_per_sec, batch))
+  except Exception:  # noqa: BLE001 — keep the sweep alive without roofline
+    pass
+  return row
 
 
 def bench_mujoco_c(model_name: str, nsteps: int) -> dict:

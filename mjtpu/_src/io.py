@@ -408,11 +408,17 @@ def put_data(m: Model, d: mujoco.MjData, dtype=None) -> Data:
   )
 
 
-def get_data_into(result, m: Model, d: Data) -> None:
+def get_data_into(result, m: Model, d: Data, sort_contacts: bool = False) -> None:
   """Writes a Data back into an MjData (reference device_get_into,
   device.py:1119-1206).  State + kinematics + dynamics outputs; contacts
   are written up to mjData's capacity.  A batched Data writes into a
-  list of MjData of matching length (reference's list-of-N path)."""
+  list of MjData of matching length (reference's list-of-N path).
+
+  sort_contacts: emit contacts in canonical (geom1, geom2) order instead
+  of the engine's collider-group order.  The group order can differ from
+  C's collision-function order on the same scene (documented at
+  sensor.py's contact-sensor match note), so the canonical sort makes
+  mjData-level C diffing deterministic."""
   batched = d.qpos.ndim > 1
   if batched:
     if not isinstance(result, (list, tuple)):
@@ -425,7 +431,7 @@ def get_data_into(result, m: Model, d: Data) -> None:
           f"need {d.qpos.shape[0]} MjData instances, got {len(result)}"
       )
     for i, res in enumerate(result):
-      get_data_into(res, m, jax.tree.map(lambda x: x[i], d))
+      get_data_into(res, m, jax.tree.map(lambda x: x[i], d), sort_contacts)
     return
 
   for name in (
@@ -468,7 +474,11 @@ def get_data_into(result, m: Model, d: Data) -> None:
   im = np.asarray(d.contact.includemargin)
   addr = np.asarray(d.contact.efc_address)
   dim = np.asarray(d.contact.dim)
+  geom1 = np.asarray(d.contact.geom1)
+  geom2 = np.asarray(d.contact.geom2)
   active = np.nonzero(dist < np.asarray(d.contact.margin))[0]
+  if sort_contacts and active.size:
+    active = active[np.lexsort((dist[active], geom2[active], geom1[active]))]
 
   # live efc rows: non-contact rows with a nonzero J row (equality rows
   # zero themselves when eq_active is off, limit rows when not violated;
@@ -503,24 +513,27 @@ def get_data_into(result, m: Model, d: Data) -> None:
     return
 
   try:
-    for k, i in enumerate(active):
+    # vectorized write-back: mjData.contact exposes (ncon, ...) array views,
+    # so the whole active set lands in a handful of fancy-indexed assigns
+    # (the per-contact python loop was quadratic pain at huge ncon)
+    if active.size:
       c = result.contact
-      c.exclude[k] = int(dist[i] >= im[i])
-      c.dist[k] = dist[i]
-      c.pos[k] = np.asarray(d.contact.pos)[i]
-      c.frame[k] = np.asarray(d.contact.frame)[i].reshape(-1)
-      c.includemargin[k] = im[i]
-      c.friction[k] = np.asarray(d.contact.friction)[i]
-      c.solref[k] = np.asarray(d.contact.solref)[i]
-      c.solimp[k] = np.asarray(d.contact.solimp)[i]
-      c.dim[k] = int(dim[i])
-      c.geom1[k] = int(np.asarray(d.contact.geom1)[i])
-      c.geom2[k] = int(np.asarray(d.contact.geom2)[i])
-      c.geom[k] = np.asarray(d.contact.geom)[i]
+      c.exclude[:] = (dist[active] >= im[active]).astype(np.int32)
+      c.dist[:] = dist[active]
+      c.pos[:] = np.asarray(d.contact.pos)[active]
+      c.frame[:] = np.asarray(d.contact.frame)[active].reshape(active.size, -1)
+      c.includemargin[:] = im[active]
+      c.friction[:] = np.asarray(d.contact.friction)[active]
+      c.solref[:] = np.asarray(d.contact.solref)[active]
+      c.solimp[:] = np.asarray(d.contact.solimp)[active]
+      c.dim[:] = dim[active]
+      c.geom1[:] = geom1[active]
+      c.geom2[:] = geom2[active]
+      c.geom[:] = np.asarray(d.contact.geom)[active]
       # point at the row's position in the compacted efc arrays;
       # gap-band contacts contribute no rows (C uses -1 there)
-      c.efc_address[k] = (
-          int(new_index[addr[i]]) if dist[i] < im[i] else -1
+      c.efc_address[:] = np.where(
+          dist[active] < im[active], new_index[addr[active]], -1
       )
   except Exception as e:  # pylint: disable=broad-except
     warnings.warn(f"get_data_into: contact write-back failed: {e!r}")

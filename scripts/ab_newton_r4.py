@@ -31,6 +31,7 @@ sys.path.insert(0, _REPO)
 ARMS = [
     # tag                                model    solver  pcg chunks batch steps
     ("scene_pile/CG",                    "pile",  "cg",     0, 1, 512, 200),
+    ("scene_pile/CG/K8",                 "pile",  "cg",     0, 8, 512, 200),
     ("scene_pile/Newton-dense",          "pile",  "newton", 0, 1, 512, 200),
     ("scene_pile/Newton-dense/K8",       "pile",  "newton", 0, 8, 512, 200),
     ("scene_pile/Newton-blockpcg",       "pile",  "newton", 1, 1, 512, 25),
@@ -164,6 +165,9 @@ def main():
       print(json.dumps(row), flush=True)
       with open(args.out, "a") as f:
         f.write(json.dumps(row) + "\n")
+      # a wedged tunnel takes minutes to recover; give the next arm a chance
+      print("# waiting 150s for tunnel recovery", file=sys.stderr, flush=True)
+      time.sleep(150)
       continue
     sys.stderr.write(proc.stderr[-2000:] if proc.stderr else "")
     line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]

@@ -27,6 +27,48 @@ def test_get_data_into_roundtrip():
   assert (out.contact.dist[: out.ncon] < 0.01).all()
 
 
+def test_get_data_into_sorted_contacts():
+  """sort_contacts=True emits contacts in canonical (geom1, geom2) order,
+  making mjData-level C diffs deterministic even when the engine's
+  collider-group order differs from C's collision-function order."""
+  mjm = load_mj("spheres.xml")
+  mjd = mujoco.MjData(mjm)
+  m = mjtpu.put_model(mjm)
+  d = mjtpu.make_data(m)
+  step = jax.jit(mjtpu.step)
+  for _ in range(300):  # settle onto the floor (>=2 active contacts)
+    mujoco.mj_step(mjm, mjd)
+    d = step(m, d)
+
+  out = mujoco.MjData(mjm)
+  mjtpu.get_data_into(out, m, d, sort_contacts=True)
+  assert out.ncon == mjd.ncon and out.ncon >= 2
+
+  keys = list(zip(out.contact.geom1[: out.ncon], out.contact.geom2[: out.ncon]))
+  assert keys == sorted(keys), f"not in canonical order: {keys}"
+
+  # canonical order makes per-row C comparison pairing-free: sort C's
+  # contacts the same way and diff row-by-row
+  c_order = np.lexsort((
+      mjd.contact.dist[: mjd.ncon],
+      mjd.contact.geom2[: mjd.ncon],
+      mjd.contact.geom1[: mjd.ncon],
+  ))
+  np.testing.assert_array_equal(
+      out.contact.geom1[: out.ncon], mjd.contact.geom1[c_order])
+  np.testing.assert_array_equal(
+      out.contact.geom2[: out.ncon], mjd.contact.geom2[c_order])
+  np.testing.assert_allclose(
+      out.contact.dist[: out.ncon], mjd.contact.dist[c_order], atol=1e-9)
+  np.testing.assert_allclose(
+      out.contact.pos[: out.ncon], mjd.contact.pos[c_order], atol=1e-8)
+  # efc_address still points at each contact's compacted efc rows
+  for k in range(out.ncon):
+    a = out.contact.efc_address[k]
+    if a >= 0:
+      assert out.efc_id[a] == k
+
+
 def _dense_j(out, nv):
   """Reconstruct dense efc_J from an MjData (sparse or dense storage)."""
   if out.efc_J.size == out.nefc * nv:  # dense layout (mj_isSparse false),
