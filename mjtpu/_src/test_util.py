@@ -31,8 +31,18 @@ def create_mjcf(
     contact_pairs: bool = False,
     excludes: bool = False,
     equality: bool = False,
+    equality_types: tuple = ("connect",),
+    spatial_tendons: bool = False,
 ) -> str:
-  """Generates a random but well-formed MJCF string."""
+  """Generates a random but well-formed MJCF string.
+
+  spatial_tendons: adds a site to every body plus a no-collision wrap
+  sphere on a middle body, and a <spatial> tendon threading first site ->
+  wrap geom -> last site (exercises the mju_wrap path structurally, not
+  just on hand-written models).  equality_types: the constraint classes
+  <equality> may draw from — "connect", "weld", "joint" (needs two scalar
+  joints), "tendon" (needs two tendons, implies tendons=True upstream).
+  """
   rng = np.random.default_rng(seed)
   nbody = int(rng.integers(2, max_bodies + 1))
 
@@ -102,6 +112,19 @@ def create_mjcf(
         if jt != "ball":
           joint_names.append(name)
     lines.append(f"{ind}  {geom_str(b)}")
+    if spatial_tendons:
+      sp = rng.uniform(-0.08, 0.08, 3)
+      lines.append(
+          f'{ind}  <site name="site{b}" pos="{sp[0]:.3f} {sp[1]:.3f}'
+          f' {sp[2]:.3f}" size="0.005"/>'
+      )
+      if b == nbody // 2 and nbody >= 3:
+        # wrap sphere: collision-disabled, small mass, near the tendon path
+        lines.append(
+            f'{ind}  <geom name="wrapg" type="sphere"'
+            f' size="{rng.uniform(0.05, 0.1):.3f}" pos="0 0 0"'
+            f' contype="0" conaffinity="0" mass="0.05"/>'
+        )
     if b < nbody - 1 and rng.random() < 0.7:
       depth += 1  # child of this body
     else:
@@ -113,12 +136,40 @@ def create_mjcf(
     lines.append(f"{ind}</body>")
   lines.append("  </worldbody>")
 
+  tendon_names = []
+  tendon_lines = []
   if tendons and len(joint_names) >= 2:
-    lines.append("  <tendon>")
-    lines.append('    <fixed name="t0">')
+    tendon_lines.append('    <fixed name="t0">')
     for name in joint_names[:2]:
-      lines.append(f'      <joint joint="{name}" coef="{rng.uniform(-1, 1):.3f}"/>')
-    lines.append("    </fixed>")
+      tendon_lines.append(
+          f'      <joint joint="{name}" coef="{rng.uniform(-1, 1):.3f}"/>')
+    tendon_lines.append("    </fixed>")
+    tendon_names.append("t0")
+    # second fixed tendon only when tendon-equality fuzz asks for it (keeps
+    # the rng stream of pre-existing seeds unchanged)
+    if "tendon" in equality_types and len(joint_names) >= 4:
+      tendon_lines.append('    <fixed name="t1">')
+      for name in joint_names[2:4]:
+        tendon_lines.append(
+            f'      <joint joint="{name}" coef="{rng.uniform(-1, 1):.3f}"/>')
+      tendon_lines.append("    </fixed>")
+      tendon_names.append("t1")
+  if spatial_tendons and nbody >= 2:
+    attrs = (f'name="st0" stiffness="{rng.uniform(0.5, 8.0):.2f}"'
+             f' damping="{rng.uniform(0.0, 0.5):.3f}"')
+    if rng.random() < 0.5:
+      lo = rng.uniform(0.05, 0.2)
+      attrs += f' limited="true" range="{lo:.3f} {lo + rng.uniform(0.3, 1.0):.3f}"'
+    tendon_lines.append(f"    <spatial {attrs}>")
+    tendon_lines.append('      <site site="site0"/>')
+    if nbody >= 3:
+      tendon_lines.append('      <geom geom="wrapg"/>')
+    tendon_lines.append(f'      <site site="site{nbody - 1}"/>')
+    tendon_lines.append("    </spatial>")
+    tendon_names.append("st0")
+  if tendon_lines:
+    lines.append("  <tendon>")
+    lines.extend(tendon_lines)
     lines.append("  </tendon>")
 
   # contact pairs / excludes between non-adjacent bodies (reference
@@ -142,14 +193,51 @@ def create_mjcf(
     lines.append("  </contact>")
 
   if equality and nbody >= 3:
-    b1, b2 = sorted(rng.choice(nbody, 2, replace=False))
-    anchor = rng.uniform(-0.1, 0.1, 3)
-    lines.append("  <equality>")
-    lines.append(
-        f'    <connect body1="b{b1}" body2="b{b2}"'
-        f' anchor="{anchor[0]:.3f} {anchor[1]:.3f} {anchor[2]:.3f}"/>'
-    )
-    lines.append("  </equality>")
+    # draw a constraint class whose prerequisites the generated model meets
+    candidates = [t for t in equality_types if t in ("connect", "weld")]
+    if len(joint_names) >= 2 and "joint" in equality_types:
+      candidates.append("joint")
+    if len(tendon_names) >= 2 and "tendon" in equality_types:
+      candidates.append("tendon")
+    if not candidates:
+      eq = None
+    elif len(candidates) == 1:  # no rng draw: preserves pre-existing streams
+      eq = candidates[0]
+    else:
+      eq = candidates[int(rng.integers(0, len(candidates)))]
+    eq_lines = []
+    if eq in ("connect", "weld"):
+      b1, b2 = sorted(rng.choice(nbody, 2, replace=False))
+      anchor = rng.uniform(-0.1, 0.1, 3)
+      if eq == "connect":
+        eq_lines.append(
+            f'    <connect body1="b{b1}" body2="b{b2}"'
+            f' anchor="{anchor[0]:.3f} {anchor[1]:.3f} {anchor[2]:.3f}"/>'
+        )
+      else:
+        eq_lines.append(
+            f'    <weld body1="b{b1}" body2="b{b2}"'
+            f' anchor="{anchor[0]:.3f} {anchor[1]:.3f} {anchor[2]:.3f}"/>'
+        )
+    elif eq == "joint":
+      j1, j2 = rng.choice(joint_names, 2, replace=False)
+      poly = rng.uniform(-0.5, 0.5, 5)
+      poly[0] = rng.uniform(-0.2, 0.2)
+      eq_lines.append(
+          f'    <joint joint1="{j1}" joint2="{j2}" polycoef="'
+          + " ".join(f"{c:.3f}" for c in poly) + '"/>'
+      )
+    elif eq == "tendon":
+      t1, t2 = tendon_names[0], tendon_names[1]
+      poly = rng.uniform(-0.5, 0.5, 5)
+      eq_lines.append(
+          f'    <tendon tendon1="{t1}" tendon2="{t2}" polycoef="'
+          + " ".join(f"{c:.3f}" for c in poly) + '"/>'
+      )
+    if eq_lines:
+      lines.append("  <equality>")
+      lines.extend(eq_lines)
+      lines.append("  </equality>")
 
   if actuators and joint_names:
     lines.append("  <actuator>")

@@ -117,6 +117,81 @@ def test_fuzz_boxes_stable(seed):
   assert np.isfinite(np.asarray(d.qvel)).all()
 
 
+@pytest.mark.parametrize("seed", range(5))
+def test_fuzz_spatial_tendon(seed):
+  """Structural fuzz over SPATIAL tendons (sites + wrap sphere threaded by
+  create_mjcf): trajectories track C through the mju_wrap path on random
+  trees, not just the hand-written wrap models of test_tendon.py."""
+  xml = create_mjcf(
+      seed + 300,
+      geom_types=("sphere", "capsule"),
+      spatial_tendons=True,
+      tendons=(seed % 2 == 0),
+  )
+  _traj_parity(xml, seed)
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_fuzz_equality_classes(seed):
+  """Fuzz over all four equality classes (connect/weld/joint/tendon —
+  reference supports the first three, constraint.py:168-371 adds tendon
+  eq): random trees with a randomly drawn constraint class track C."""
+  xml = create_mjcf(
+      seed + 400,
+      geom_types=("sphere", "capsule"),
+      tendons=True,
+      equality=True,
+      equality_types=("connect", "weld", "joint", "tendon"),
+  )
+  _traj_parity(xml, seed)
+
+
+@pytest.mark.parametrize("seed", [703, 704, 706, 709, 714])
+def test_fuzz_tendon_equality(seed):
+  """Tendon-equality fuzz (capability-plus: the reference lacks tendon eq).
+  Seeds picked so the generated model actually carries two fixed tendons
+  and an eq_type=TENDON row (probed against C 2026-08-20)."""
+  xml = create_mjcf(
+      seed,
+      geom_types=("sphere", "capsule"),
+      tendons=True,
+      equality=True,
+      equality_types=("tendon",),
+  )
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  assert (mjm.eq_type == 3).any()  # mjEQ_TENDON: the class under test
+  _traj_parity(xml, seed)
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_fuzz_elliptic_cone(seed):
+  """Elliptic-cone trajectory fuzz (the r3 solver rework's cone groups +
+  Hessian path): contact-rich random scenes under cone=elliptic track C."""
+  xml = create_mjcf(
+      seed + 500,
+      geom_types=("sphere", "capsule"),
+      cone="elliptic",
+      contact_pairs=True,
+      frictionloss=(seed % 2 == 0),
+  )
+  _traj_parity(xml, seed)
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_fuzz_implicit_integrator(seed):
+  """Implicit/ImplicitFast integrator fuzz (the full-Implicit fluid/
+  tendon-damping derivative path + discrete inverse): random trees with
+  damping + tendons under both implicit integrators track C."""
+  xml = create_mjcf(
+      seed + 600,
+      geom_types=("sphere", "capsule"),
+      integrator="implicit" if seed % 2 else "implicitfast",
+      tendons=True,
+      frictionloss=(seed % 3 == 0),
+  )
+  _traj_parity(xml, seed)
+
+
 def test_f32_jit_parallel_capsules_finite():
   """Regression: XLA reassociates additive epsilon guards at f32.
 
