@@ -73,6 +73,12 @@ def big_pile_xml(n_bodies: int, iterations: int = 10) -> str:
 def run_arm(tag, model, solver, pcg, chunks, batch, nsteps, settle):
   os.environ["MJTPU_NEWTON_PCG"] = str(pcg)
 
+  t_start = time.perf_counter()
+
+  def mark(what):
+    print(f"## t+{time.perf_counter() - t_start:6.1f}s {what}",
+          file=sys.stderr, flush=True)
+
   import jax
   import jax.numpy as jnp
   import numpy as np
@@ -85,8 +91,10 @@ def run_arm(tag, model, solver, pcg, chunks, batch, nsteps, settle):
   import mjtpu
   from mjtpu.parallel import chunked_step
 
+  mark("imports done")
   # health check: a wedged tunnel fails fast here, not mid-measurement
   jax.block_until_ready(jnp.ones((256, 256)) @ jnp.ones((256, 256)))
+  mark("health check done")
 
   if model == "pile":
     mjm = mujoco.MjModel.from_xml_path(
@@ -104,17 +112,20 @@ def run_arm(tag, model, solver, pcg, chunks, batch, nsteps, settle):
       dtype=jnp.float32)
   bd = jax.vmap(lambda q: d0.replace(qpos=q))(qpos)
 
+  mark("model + batch built")
   stepper = chunked_step(m, chunks)
   t0 = time.perf_counter()
   parts = stepper.split(bd)
   parts = stepper.step_parts(parts)
   jax.block_until_ready(parts[-1].qpos)
   compile_s = time.perf_counter() - t0
+  mark(f"compile + first step done ({compile_s:.1f}s)")
 
   # settle (no fetch): rates below are the contact-rich settled regime
   for _ in range(settle):
     parts = stepper.step_parts(parts)
   jax.block_until_ready(parts[-1].qpos)
+  mark("settle done")
 
   block = max(nsteps // 4, 1)
   rates = []
@@ -128,8 +139,17 @@ def run_arm(tag, model, solver, pcg, chunks, batch, nsteps, settle):
     rates.append(batch * block / el)
     done += block
 
-  # the ONLY fetch, after the final timed block
-  ok = bool(jnp.isfinite(parts[0].qpos).all())
+  mark("timed blocks done")
+  # the ONLY fetch, after the final timed block; a tunnel fault here must
+  # not discard the timed data (a B4096 arm died on RESOURCE_EXHAUSTED in
+  # this fetch) — report finite=None ("unverified") instead
+  try:
+    ok = bool(jnp.isfinite(parts[0].qpos[:1024]).all())
+  except Exception as e:  # noqa: BLE001 — tunnel faults vary
+    print(f"## finite fetch failed: {type(e).__name__}", file=sys.stderr,
+          flush=True)
+    ok = None
+  mark("finite fetch done")
   row = {"tag": tag, "nv": mjm.nv, "batch": batch, "chunks": len(parts),
          "settle": settle, "nsteps": done, "compile_s": round(compile_s, 2),
          "steps_per_sec": round(float(np.median(rates)), 1), "finite": ok,

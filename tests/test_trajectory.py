@@ -167,6 +167,28 @@ def test_no_retrace():
   assert traces == 1, f"step retraced: {traces} traces for 3 calls"
 
 
+def test_rk4_traces_forward_once(monkeypatch):
+  """RK4's extra stages run under lax.scan, so one jit(step) trace runs
+  the forward pipeline exactly twice (the step's own forward + ONE scan
+  body), not 4x.  Guards the compile-time cliff the unrolled form had
+  (115 s XLA compile on walker2d at B=131072, PERFORMANCE.md)."""
+  from mjtpu._src import forward as fwd_mod
+
+  mjm = load_mj("pendulum_rk4.xml")
+  m = mjtpu.put_model(mjm)
+  calls = 0
+  real_forward = fwd_mod.forward
+
+  def counting_forward(*args, **kwargs):
+    nonlocal calls
+    calls += 1
+    return real_forward(*args, **kwargs)
+
+  monkeypatch.setattr(fwd_mod, "forward", counting_forward)
+  jax.jit(mjtpu.step).lower(m, mjtpu.make_data(m))
+  assert calls <= 2, f"forward traced {calls}x in one RK4 step trace"
+
+
 ZOO_ASSETS = pathlib.Path(__file__).parent.parent / "mjtpu" / "zoo" / "assets"
 
 
