@@ -83,8 +83,10 @@ def roofline(
     row["pct_peak_flops"] = round(
         100.0 * flops * dispatches_per_sec / peaks[0], 1
     )
-    if bytes_ is not None:
-      row["pct_peak_bw"] = round(
-          100.0 * bytes_ * dispatches_per_sec / peaks[1], 1
-      )
+    # No pct_peak_bw column: XLA's "bytes accessed" counts every fused
+    # op's operands (VMEM-resident reuse included), so it exceeds real
+    # HBM traffic by orders of magnitude on fusion-heavy programs —
+    # measured 500× peak HBM on the heavy humanoid, i.e. not a bandwidth
+    # number at all.  compiled_mbytes stays as a rig-independent RELATIVE
+    # metric (same-program A/Bs), not an absolute traffic figure.
   return row

@@ -28,8 +28,14 @@ sys.path.insert(0, _REPO)
 
 ARMS = [
     # tag                 sat   batch steps
+    # B=8192: the jnp path OOMs (its (B, npair, 12, 12, 3) edge-cross
+    # tensor alone is 29 GB > 17 GB HBM); the Pallas kernel — which never
+    # materializes it in HBM — runs.  Rig-independent capacity headline.
     ("box_pile/sat=jnp",    "0", 8192, 400),
     ("box_pile/sat=pallas", "1", 8192, 400),
+    # B=1024: both fit — the paired wall-clock A/B
+    ("box_pile/sat=jnp/B1024",    "0", 1024, 400),
+    ("box_pile/sat=pallas/B1024", "1", 1024, 400),
 ]
 
 
