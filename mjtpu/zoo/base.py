@@ -181,7 +181,11 @@ class MjtpuEnv:
     return State(
         data=data,
         obs=obs,
-        reward=reward,
+        # pin to the obs/physics dtype: _reward_done mixes the caller's
+        # action into the reward, and an f64 action (e.g. an x64-mode
+        # policy net) would otherwise promote State.reward to f64 while
+        # reset() builds it at obs.dtype — a scan-carry dtype mismatch
+        reward=jnp.asarray(reward, obs.dtype),
         done=done,
         key=key,
         steps=steps,

@@ -32,11 +32,20 @@ def test_ppo_cartpole_learns():
   gradient updates do anything).  Calibration (2026-08-20, CPU f64
   backend): learner last-10 mean ~0.955, control ~0.89; threshold 0.03
   leaves 2x headroom."""
+  import jax
+
   mod = _load_train_ppo()
   common = ["--env", "cartpole", "--num-envs", "256", "--rollout", "16",
             "--iters", "200", "--seed", "0"]
-  learner = mod.main(common + ["--lr", "1e-2"])
-  control = mod.main(common + ["--lr", "1e-9"])
+  # run the example in its native f32 (as `python examples/train_ppo.py`
+  # does): the parity conftest's x64 mode changes the optimizer/dynamics
+  # numerics the calibration below was made under
+  jax.config.update("jax_enable_x64", False)
+  try:
+    learner = mod.main(common + ["--lr", "1e-2"])
+    control = mod.main(common + ["--lr", "1e-9"])
+  finally:
+    jax.config.update("jax_enable_x64", True)
   lm = statistics.mean(learner[-10:])
   cm = statistics.mean(control[-10:])
   assert lm > cm + 0.03, (
