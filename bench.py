@@ -146,12 +146,25 @@ def _worker(result_path, deadline):
     batch_d = run(batch_d, nwarm - 20)
   _log(f"warmup done: {time.perf_counter() - t0:.1f}s total")
 
-  # pre-compile the end-of-run finite check now (while nothing is on the
-  # clock) so the post-measurement check is a bare dispatch + 4-byte fetch;
-  # no host fetch happens here (block_until_ready only)
-  finite_fn = jax.jit(lambda q: jnp.isfinite(q).all(axis=1).mean())
+  # pre-compile the end-of-run finite + reset-count check now (while nothing
+  # is on the clock) so the post-measurement check is a bare dispatch + an
+  # 8-byte fetch; no host fetch happens here (block_until_ready only).
+  # stats = [fraction of slice envs with finite qpos, sum of slice nreset
+  # counters] — the counter proves no env NaN-cycled behind _check_state's
+  # auto-reset during the timed blocks (reference forward.py:44-59 has no
+  # such accounting; its auto-reset could mask divergence).
+  def _stats(q, n):
+    return jnp.stack(
+        [jnp.isfinite(q).all(axis=1).mean(), n.sum().astype(q.dtype)]
+    )
+
+  stats_fn = jax.jit(_stats)
   check_slice = min(65536, batch_d[0].qpos.shape[0])
-  jax.block_until_ready(finite_fn(batch_d[0].qpos[:check_slice]))
+  jax.block_until_ready(
+      stats_fn(
+          batch_d[0].qpos[:check_slice], batch_d[0].nreset[:check_slice]
+      )
+  )
 
   # roofline accounting (free: the executable is already compiled/cached)
   from mjtpu import perf
@@ -163,7 +176,8 @@ def _worker(result_path, deadline):
   dispatch_batch = batch // chunks
   device_kind = jax.devices()[0].device_kind
 
-  def record(steps_per_sec, steps_measured, finite=None):
+  def record(steps_per_sec, steps_measured, finite=None, reset_count=None,
+             reset_slice=None):
     result = {
         "metric": f"{model_name}_env_steps_per_sec_B{batch}",
         "value": round(steps_per_sec, 1),
@@ -176,6 +190,9 @@ def _worker(result_path, deadline):
       )
     if finite is not None:
       result["finite"] = finite
+    if reset_count is not None:
+      result["reset_count"] = reset_count
+      result["reset_slice"] = reset_slice
     with open(result_path, "a") as fh:
       fh.write(json.dumps(result) + "\n")
       fh.flush()
@@ -225,25 +242,30 @@ def _worker(result_path, deadline):
   _log("finite check: fetching (main thread; parent timeout is backstop)")
   try:
     q = batch_d[0].qpos  # one chunk (chunks=1: the full batch)
+    nr = batch_d[0].nreset
     try:
-      frac = float(finite_fn(q[:check_slice]))  # compiled in warmup
+      stats = np.asarray(stats_fn(q[:check_slice], nr[:check_slice]))
     except Exception:  # noqa: BLE001 — B>=128k residency can fault the
       # transfer layer with RESOURCE_EXHAUSTED even for a scalar fetch;
       # a 1k-env slice has always worked (CLAUDE.md)
       _log("finite check: full-slice fetch faulted; retrying 1k slice")
-      frac = float(jnp.isfinite(q[:1024]).all(axis=1).mean())
+      stats = np.asarray(_stats(q[:1024], nr[:1024]))
       check_slice = 1024
+    frac, reset_count = float(stats[0]), int(stats[1])
   except Exception as e:  # noqa: BLE001 — tunnel faults vary
     _log(f"finite check errored ({e}) — results stand unverified; "
          "engine-level _check_state resets non-finite envs every step")
   else:
     if frac <= 0.95:
       _log(f"FINITE CHECK FAILED: {frac:.1%}")
-      record(0.0, done, finite=False)  # invalidate
+      record(0.0, done, finite=False, reset_count=reset_count,
+             reset_slice=check_slice)  # invalidate
     else:
-      _log(f"finite check ok: {frac:.1%} envs finite (slice of {check_slice})")
+      _log(f"finite check ok: {frac:.1%} envs finite, "
+           f"{reset_count} auto-resets (slice of {check_slice})")
       if rates:
-        record(float(np.median(rates)), done, finite=True)
+        record(float(np.median(rates)), done, finite=True,
+               reset_count=reset_count, reset_slice=check_slice)
 
 
 # ----------------------------------------------------------------------------
@@ -260,57 +282,146 @@ def _read_last_result(path):
     return None
 
 
-def main():
-  budget = float(os.environ.get("MJTPU_BENCH_BUDGET", "420"))
-  t_start = time.perf_counter()
-  result_path = f"/tmp/mjtpu_bench_result_{os.getpid()}.jsonl"
+def _run_worker(result_path, overrides, deadline, fetch_window, tag):
+  """Spawns one measurement worker and polls it against two kill points:
+  deadline+20 while NO result line exists on disk (a worker wedged in
+  compile/dispatch must not eat the fallbacks' budget), extended into the
+  fetch window once a measurement has been recorded (the post-measurement
+  finite-check fetch is 100-900s on a bad tunnel day and is worth waiting
+  for — every timed row is already safe on disk)."""
   if os.path.exists(result_path):
     os.remove(result_path)
-
-  attempts = [
-      {},  # as configured
-      # same batch, fewer steps: if attempt 1 finished compiling before its
-      # deadline, the persistent cache makes this a fast retry at the
-      # headline batch size
-      {"MJTPU_BENCH_STEPS": "100", "MJTPU_BENCH_WARMUP": "10"},
-      {"MJTPU_BENCH_BATCH": "1024", "MJTPU_BENCH_STEPS": "100",
-       "MJTPU_BENCH_WARMUP": "20"},  # last resort: tiny
-  ]
-  caps = [150.0, 90.0, float("inf")]
-  for i, overrides in enumerate(attempts):
-    remaining = budget - (time.perf_counter() - t_start)
-    if remaining < 30:
+  env = dict(os.environ, **overrides)
+  env["_MJTPU_BENCH_DEADLINE"] = str(deadline)
+  _log(f"{tag}: overrides={overrides or 'none'} "
+       f"deadline={deadline:.0f}s fetch_window={fetch_window:.0f}s")
+  t0 = time.perf_counter()
+  proc = subprocess.Popen(
+      [sys.executable, os.path.abspath(__file__), "--worker", result_path],
+      env=env, cwd=_REPO,
+  )
+  rc = None
+  while True:
+    rc = proc.poll()
+    if rc is not None:
       break
-    # cap the MEASUREMENT deadline so a wedged worker leaves the fallbacks
-    # room; the subprocess timeout extends past it by the remaining budget
-    # so the post-measurement finite-check fetch (100-900s on a bad tunnel
-    # day, instrumented in scripts/ab_newton_r4.py) can land finite=true.
-    deadline = min(remaining - 10, caps[i])
-    fetch_window = max(30.0, budget - (time.perf_counter() - t_start)
-                       - deadline - 10)
-    env = dict(os.environ, **overrides)
-    env["_MJTPU_BENCH_DEADLINE"] = str(deadline)
-    _log(f"attempt {i + 1}: overrides={overrides or 'none'} "
-         f"deadline={deadline:.0f}s fetch_window={fetch_window:.0f}s")
-    try:
-      proc = subprocess.run(
-          [sys.executable, os.path.abspath(__file__), "--worker", result_path],
-          env=env, cwd=_REPO, timeout=deadline + fetch_window,
-      )
-      rc = proc.returncode
-    except subprocess.TimeoutExpired:
-      rc = "timeout"
-    _log(f"attempt {i + 1} worker rc={rc}")
-    if _read_last_result(result_path) is not None:
+    now = time.perf_counter() - t0
+    has_result = _read_last_result(result_path) is not None
+    limit = deadline + fetch_window if has_result else deadline + 20.0
+    if now > limit:
+      proc.kill()
+      proc.wait()
+      rc = "timeout-with-result" if has_result else "timeout"
       break
+    time.sleep(1.0)
+  _log(f"{tag}: worker rc={rc} ({time.perf_counter() - t0:.0f}s)")
+  return _read_last_result(result_path)
 
-  result = _read_last_result(result_path)
-  if result is None:
+
+def main():
+  import statistics
+
+  budget = float(os.environ.get("MJTPU_BENCH_BUDGET", "420"))
+  # median-of-N isolated runs (one fresh subprocess per run — the r4
+  # measurement-integrity protocol; N=1 restores the old single-run mode)
+  nruns = max(1, int(os.environ.get("MJTPU_BENCH_RUNS", "3")))
+  batch = int(os.environ.get("MJTPU_BENCH_BATCH", "131072"))
+  t_start = time.perf_counter()
+  base = f"/tmp/mjtpu_bench_result_{os.getpid()}"
+
+  def remaining():
+    return budget - (time.perf_counter() - t_start)
+
+  # verification reserve: an adjacent smaller-batch run only needed when the
+  # headline batch is too big for its own end-of-run fetch to succeed
+  reserve = 100.0 if batch > 65536 else 0.0
+
+  results = []
+  for i in range(nruns):
+    room = remaining() - (reserve if i == nruns - 1 else 0.0)
+    if results and room < 80:
+      _log(f"run {i + 1}: skipped (only {remaining():.0f}s left)")
+      break
+    if not results and remaining() < 30:
+      break
+    # run 1 pays the compile; later runs hit the persistent cache
+    deadline = min(150.0 if i == 0 else 90.0, max(40.0, room - 30))
+    fetch_window = min(60.0 if i < nruns - 1 else 120.0,
+                       max(30.0, room - deadline - 10))
+    res = _run_worker(f"{base}_run{i + 1}.jsonl", {}, deadline, fetch_window,
+                      f"run {i + 1}/{nruns}")
+    if res is not None:
+      results.append(res)
+    elif i == 0:
+      break  # headline config doesn't complete at all -> fallback ladder
+
+  if not results:
+    # fallback ladder: same batch with fewer steps (reuses the compile cache
+    # attempt 1 may have populated), then a tiny batch as last resort
+    for overrides in (
+        {"MJTPU_BENCH_STEPS": "100", "MJTPU_BENCH_WARMUP": "10"},
+        {"MJTPU_BENCH_BATCH": "1024", "MJTPU_BENCH_STEPS": "100",
+         "MJTPU_BENCH_WARMUP": "20"},
+    ):
+      if remaining() < 30:
+        break
+      deadline = max(40.0, min(90.0, remaining() - 40))
+      res = _run_worker(f"{base}_fb.jsonl", overrides, deadline,
+                        max(30.0, remaining() - deadline - 10), "fallback")
+      if res is not None:
+        results.append(res)
+        break
+
+  if not results:
     _log("FAILED: no measurement recorded within budget")
     sys.exit(1)
+
+  vals = [r["value"] for r in results]
+  med = float(statistics.median(vals))
+  rep = min(results, key=lambda r: abs(r["value"] - med))
+  out = dict(rep)
+  if len(vals) > 1:
+    scale = med / rep["value"] if rep["value"] else 1.0
+    out["value"] = round(med, 1)
+    out["vs_baseline"] = round(med / BASELINE_STEPS_PER_SEC, 4)
+    for k in ("achieved_tflops_per_sec", "achieved_gbytes_per_sec",
+              "pct_peak_flops"):
+      if k in out:
+        out[k] = round(out[k] * scale, 2)
+    out["runs"] = [round(v, 1) for v in vals]
+    out["runs_min"] = round(min(vals), 1)
+    out["runs_max"] = round(max(vals), 1)
+    # a run whose own finite check landed verifies the batch for all runs
+    # (same executable, same protocol); propagate the strongest evidence
+    for r in results:
+      if r.get("finite") is True and out.get("finite") is not True:
+        out["finite"] = True
+        out["reset_count"] = r.get("reset_count")
+        out["reset_slice"] = r.get("reset_slice")
+      if r.get("finite") is False:
+        out["finite"] = False  # any failed check invalidates the median
+
+  # automated adjacent-batch finiteness (VERDICT r4 item 2): when no run's
+  # in-process fetch landed (B>=128k residency faults all fetches,
+  # CLAUDE.md), verify with the same executable at B=65536 whose
+  # end-of-run fetch works, and stamp the result into the headline JSON.
+  if out.get("finite") is not True and batch > 65536 and remaining() > 60:
+    # few steps: the point is the end-of-run fetch, not the rate — leave
+    # most of the remaining budget as fetch window (100-900s on bad days)
+    overrides = {"MJTPU_BENCH_BATCH": "65536", "MJTPU_BENCH_STEPS": "100",
+                 "MJTPU_BENCH_WARMUP": "20", "MJTPU_BENCH_RUNS": "1"}
+    deadline = max(40.0, min(90.0, remaining() - 60))
+    res = _run_worker(f"{base}_verify.jsonl", overrides, deadline,
+                      max(30.0, remaining() - deadline - 5), "finite-verify")
+    if res is not None and res.get("finite") is not None:
+      out["finite_adjacent"] = res["finite"]
+      out["finite_adjacent_batch"] = 65536
+      if res.get("reset_count") is not None:
+        out["reset_count_adjacent"] = res["reset_count"]
+
   # the driver reads the LAST stdout JSON line; printing here (and never
   # after) means even an external kill past this point loses nothing
-  print(json.dumps(result), flush=True)
+  print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -50,7 +50,10 @@ def _check_state(m: Model, d: Data) -> Data:
   qvel = jnp.where(reset, jnp.zeros_like(d.qvel), d.qvel)
   qacc = jnp.where(reset, jnp.zeros_like(d.qacc), d.qacc)
   warm = jnp.where(reset, jnp.zeros_like(d.qacc_warmstart), d.qacc_warmstart)
-  return d.replace(qpos=qpos, qvel=qvel, qacc=qacc, qacc_warmstart=warm)
+  nreset = d.nreset + reset.astype(d.nreset.dtype)
+  return d.replace(
+      qpos=qpos, qvel=qvel, qacc=qacc, qacc_warmstart=warm, nreset=nreset
+  )
 
 
 @matmul_precision

@@ -384,6 +384,7 @@ def make_data(m: Model, dtype=None) -> Data:
       sensordata=zero(m.nsensordata),
       energy=zero(2),
       solver_niter=zero_i(),
+      nreset=zero_i(),
   )
 
 

@@ -766,3 +766,8 @@ class Data:
   energy: jax.Array
   # solver iterations taken (int32 scalar; C's solver_niter[0])
   solver_niter: jax.Array
+  # count of _check_state non-finite/diverged resets since make_data (int32
+  # scalar; the analog of C's mjWARN_BADQPOS/BADQVEL warning counters).
+  # Summed over the batch it proves a throughput run was not NaN-cycling
+  # behind the auto-reset (bench.py fetches it with the finite check).
+  nreset: jax.Array

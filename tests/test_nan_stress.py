@@ -68,3 +68,8 @@ def test_nan_injection_recovers():
   d = step(m, d)
   assert bool(jnp.isfinite(d.qpos).all())
   assert bool(jnp.isfinite(d.qvel).all())
+  # the reset counter records exactly the two poisoned envs (NaN + >MAXVAL)
+  assert np.asarray(d.nreset).tolist() == [0, 1, 0, 1]
+  # healthy steps never bump it
+  d = step(m, d)
+  assert int(np.asarray(d.nreset).sum()) == 2
