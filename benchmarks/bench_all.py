@@ -152,6 +152,47 @@ def bench_mjx(model_name: str, batch: int, nsteps: int, nwarm: int) -> dict:
   }
 
 
+def _isolated_sweep(args):
+  """One fresh subprocess per (engine, model, batch) cell — the r4
+  measurement-integrity protocol (CLAUDE.md): no cell can inherit another's
+  degraded dispatch state, and a wedged cell only loses itself.  Timed-out
+  or crashed cells get an explicit note row instead of silence."""
+  import subprocess
+
+  here = str(Path(__file__).resolve())
+  cells = []
+  for name in args.models:
+    if "mjc" in args.engines:
+      cells.append(("mjc", name, None))
+    for b in args.batches:
+      for eng in args.engines:
+        if eng != "mjc":
+          cells.append((eng, name, b))
+  for eng, name, b in cells:
+    cmd = [sys.executable, here, "--models", name, "--engines", eng,
+           "--steps", str(args.steps), "--warmup", str(args.warmup)]
+    if b is not None:
+      cmd += ["--batches", str(b)]
+    if args.out:
+      cmd += ["--out", args.out]
+    tag = f"{eng}/{name}" + (f"/B{b}" if b else "")
+    print(f"# cell: {tag}", file=sys.stderr, flush=True)
+    try:
+      proc = subprocess.run(cmd, timeout=args.cell_timeout, text=True,
+                            capture_output=True)
+      sys.stderr.write(proc.stderr[-1000:] if proc.stderr else "")
+      sys.stdout.write(proc.stdout)
+      sys.stdout.flush()
+      note = None if proc.returncode == 0 else f"cell rc={proc.returncode}"
+    except subprocess.TimeoutExpired:
+      note = f"cell timeout ({args.cell_timeout:.0f}s)"
+    if note and args.out:
+      row = {"engine": eng, "model": name, "batch": b, "note": note}
+      with open(args.out, "a") as f:
+        f.write(json.dumps(row) + "\n")
+      print(json.dumps(row), flush=True)
+
+
 def main():
   ap = argparse.ArgumentParser()
   ap.add_argument("--models", nargs="+",
@@ -163,8 +204,17 @@ def main():
   ap.add_argument("--warmup", type=int, default=50)
   ap.add_argument("--engines", nargs="+", default=["mjtpu"],
                   choices=["mjtpu", "mjc", "mjx"])
+  ap.add_argument("--isolate", action="store_true",
+                  help="run each (engine, model, batch) cell in a fresh "
+                       "subprocess (measurement-integrity protocol)")
+  ap.add_argument("--cell-timeout", type=float, default=420.0,
+                  help="per-cell wall-clock bound in --isolate mode")
   ap.add_argument("--out", default="")
   args = ap.parse_args()
+
+  if args.isolate:
+    _isolated_sweep(args)
+    return
 
   results = []
   for name in args.models:

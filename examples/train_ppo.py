@@ -56,9 +56,15 @@ def main(argv=None):
   ap.add_argument(
       "--randomize", action="store_true",
       help="domain randomization: per-env friction/gain/mass (+-20-30%%)")
+  ap.add_argument(
+      "--episode-length", type=int, default=None,
+      help="override the env's episode time limit (shorter limits make "
+           "episode returns land inside a short training run)")
   args = ap.parse_args(argv)
 
   env = zoo.ENVS[args.env](dtype=jnp.float32)
+  if args.episode_length is not None:
+    env.episode_length = args.episode_length
   key = jax.random.PRNGKey(args.seed)
   obs_dim, act_dim = env.observation_size, env.action_size
 
@@ -94,9 +100,9 @@ def main(argv=None):
 
   state = jax.vmap(env.reset)(jax.random.split(key, args.num_envs))
 
-  def rollout(params, state, key):
+  def rollout(params, state, ep_ret, key):
     def one_step(carry, _):
-      state, key = carry
+      state, ep_ret, key = carry
       key, sub = jax.random.split(key)
       mean = mlp(params["pi"], state.obs)
       std = jnp.exp(params["log_std"])
@@ -110,13 +116,19 @@ def main(argv=None):
         next_state = jax.vmap(env.step, in_axes=(0, 0, m_axes))(state, act, mb)
       else:
         next_state = jax.vmap(env.step)(state, act)
-      out = (state.obs, act, logp, value, next_state.reward, next_state.done)
-      return (next_state, key), out
+      # episode-return accounting: accumulate through the final (done)
+      # step, emit the completed return, reset for the auto-reset env
+      ep_ret = ep_ret + next_state.reward
+      comp_ret = jnp.where(next_state.done, ep_ret, 0.0)
+      ep_ret = jnp.where(next_state.done, 0.0, ep_ret)
+      out = (state.obs, act, logp, value, next_state.reward,
+             next_state.done, comp_ret)
+      return (next_state, ep_ret, key), out
 
-    (state, _), (obs, act, logp, value, reward, done) = jax.lax.scan(
-        one_step, (state, key), None, length=args.rollout
-    )
-    return state, obs, act, logp, value, reward, done
+    (state, ep_ret, _), (obs, act, logp, value, reward, done, comp_ret) = (
+        jax.lax.scan(one_step, (state, ep_ret, key), None,
+                     length=args.rollout))
+    return state, ep_ret, obs, act, logp, value, reward, done, comp_ret
 
   def gae(value, reward, done, gamma=0.99, lam=0.95):
     # standard GAE backward scan
@@ -136,9 +148,10 @@ def main(argv=None):
     return adv
 
   @jax.jit
-  def train_iter(params, opt_state, state, key):
+  def train_iter(params, opt_state, state, ep_ret, key):
     key, k_roll = jax.random.split(key)
-    state, obs, act, logp_old, value, reward, done = rollout(params, state, k_roll)
+    (state, ep_ret, obs, act, logp_old, value, reward, done,
+     comp_ret) = rollout(params, state, ep_ret, k_roll)
     adv = gae(value, reward, done)
     ret = adv + value
     adv = (adv - adv.mean()) / (adv.std() + 1e-8)
@@ -163,23 +176,31 @@ def main(argv=None):
     loss, grads = jax.value_and_grad(loss_fn)(params)
     updates, opt_state = tx.update(grads, opt_state)
     params = optax.apply_updates(params, updates)
-    return params, opt_state, state, key, loss, reward.mean()
+    n_done = done.sum()
+    ep_stats = (comp_ret.sum(), n_done)
+    return params, opt_state, state, ep_ret, key, loss, reward.mean(), ep_stats
 
   rewards = []
+  ep_ret = jnp.zeros(args.num_envs, jnp.float32)
+  last_ep_return = None
   log_f = open(args.log_jsonl, "a") if args.log_jsonl else None
   for it in range(args.iters):
     t0 = time.perf_counter()
-    params, opt_state, state, key, loss, mean_rew = train_iter(
-        params, opt_state, state, key
-    )
+    params, opt_state, state, ep_ret, key, loss, mean_rew, ep_stats = (
+        train_iter(params, opt_state, state, ep_ret, key))
     jax.block_until_ready(loss)
     sps = args.num_envs * args.rollout * env.frame_skip / (
         time.perf_counter() - t0
     )
     rewards.append(float(mean_rew))
+    comp_sum, comp_cnt = float(ep_stats[0]), int(ep_stats[1])
+    if comp_cnt:
+      last_ep_return = comp_sum / comp_cnt
+    ep_str = ("---" if last_ep_return is None
+              else f"{last_ep_return:8.2f}")
     print(
         f"iter {it:3d}  loss {float(loss):8.4f}  reward {float(mean_rew):8.4f}"
-        f"  {sps:,.0f} env-steps/s"
+        f"  ep_return {ep_str} ({comp_cnt} eps)  {sps:,.0f} env-steps/s"
     )
     if log_f:
       import json
@@ -187,6 +208,7 @@ def main(argv=None):
       log_f.write(json.dumps({
           "env": args.env, "seed": args.seed, "iter": it,
           "loss": float(loss), "mean_reward": float(mean_rew),
+          "episode_return": last_ep_return, "episodes_completed": comp_cnt,
           "env_steps_per_sec": round(sps),
           "env_steps": (it + 1) * args.num_envs * args.rollout
           * env.frame_skip,

@@ -6,8 +6,16 @@ reference ran this path uncompiled with a host loop over candidates
 (collision_driver.py:332-437); here the subgrid size is a static model
 constant (from hfield tick + geom rbound, both host-known) so the entire
 path jits: heights are gathered dynamically around the object's footprint,
-surface triangles are built as traced arrays, and the narrowphase vmaps
+surface triangles are built as traced arrays, and the narrowphase runs
 over triangles with a top-4 manifold selection (SURVEY.md §7 step 6).
+
+The sphere/capsule narrowphase runs in the hfield's LOCAL frame (terrain
+up = +z): the object segment is pulled into the hfield frame, triangles
+are never rotated, and only the 4 manifold winners are pushed back to
+world.  Under vmap the whole stage dispatches to the Pallas kernel
+(mjtpu/ops/hfield.py) through a custom_vmap seam — triangle construction
+and per-triangle tests stay in VMEM, only the (R, C) height window
+crosses HBM.  Knob: MJTPU_PALLAS_HFIELD={auto,1,0}.
 
 v1 collides against the terrain's surface triangles (two per cell).  Side
 walls of the boundary prisms are not modeled — objects should stay on top
@@ -16,11 +24,14 @@ of the terrain (the reference's prisms share this practical envelope).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from mjtpu._src import math
+from mjtpu._src.diff_config import get_diff_config
 from mjtpu._src.types import ConvexMesh, Model
 
 # cap on the static subgrid half-extent (cells); bigger objects clamp here
@@ -39,57 +50,64 @@ def _subgrid_shape(m: Model, hid: int, rbound: float) -> tuple[int, int]:
   return hy, hx
 
 
-def _surface_triangles(m: Model, hid: int, pos1, mat1, obj_center, hy: int, hx: int):
-  """Traced (T, 3, 3) world triangles under the object's footprint."""
+def _grid_consts(m: Model, hid: int):
   nrow, ncol = int(m.hfield_nrow[hid]), int(m.hfield_ncol[hid])
   size = m.hfield_size[hid]  # (sx, sy, ztop, zbottom) — static numpy
   sx, sy, ztop = float(size[0]), float(size[1]), float(size[2])
-  adr = int(m.hfield_adr[hid])
   dx = 2.0 * sx / max(1, ncol - 1)
   dy = 2.0 * sy / max(1, nrow - 1)
+  return nrow, ncol, sx, sy, ztop, int(m.hfield_adr[hid]), dx, dy
 
-  # object center in hfield frame
-  lc = mat1.T @ (obj_center - pos1)
+
+def _height_window(m: Model, hid: int, lc, hy: int, hx: int):
+  """Gathers the (R, C) height window under the local object center ``lc``
+  plus its origin (x0, y0); R = 2hy+2 rows, C = 2hx+2 cols."""
+  nrow, ncol, sx, sy, ztop, adr, dx, dy = _grid_consts(m, hid)
   ci = jnp.clip(
       jnp.floor((lc[0] + sx) / dx).astype(jnp.int32), hx, ncol - 2 - hx
   )
   ri = jnp.clip(
       jnp.floor((lc[1] + sy) / dy).astype(jnp.int32), hy, nrow - 2 - hy
   )
-
-  # gather (2hy+2, 2hx+2) grid of heights around (ri, ci)
-  rows = ri - hy + jnp.arange(2 * hy + 2)
-  cols = ci - hx + jnp.arange(2 * hx + 2)
-  rows = jnp.clip(rows, 0, nrow - 1)
-  cols = jnp.clip(cols, 0, ncol - 1)
+  rows = jnp.clip(ri - hy + jnp.arange(2 * hy + 2), 0, nrow - 1)
+  cols = jnp.clip(ci - hx + jnp.arange(2 * hx + 2), 0, ncol - 1)
   flat_idx = adr + rows[:, None] * ncol + cols[None, :]
-  z = m.hfield_data[flat_idx.reshape(-1)].reshape(2 * hy + 2, 2 * hx + 2) * ztop
+  z = (m.hfield_data[flat_idx.reshape(-1)]
+       .reshape(2 * hy + 2, 2 * hx + 2) * ztop)
+  dtype = z.dtype
+  x0 = -sx + cols[0].astype(dtype) * dx
+  y0 = -sy + rows[0].astype(dtype) * dy
+  return z, x0, y0
 
-  xs = -sx + cols.astype(z.dtype) * dx
-  ys = -sy + rows.astype(z.dtype) * dy
-  # vertices of each cell (r, c):四 corners
-  x0 = xs[None, :-1].repeat(2 * hy + 1, 0)
-  x1 = xs[None, 1:].repeat(2 * hy + 1, 0)
-  y0 = ys[:-1, None].repeat(2 * hx + 1, 1)
-  y1 = ys[1:, None].repeat(2 * hx + 1, 1)
-  z00 = z[:-1, :-1]
-  z01 = z[:-1, 1:]
-  z10 = z[1:, :-1]
-  z11 = z[1:, 1:]
+
+def _local_triangles(z, x0, y0, dx: float, dy: float):
+  """(T, 3, 3) local surface triangles from one height window.  Triangle
+  order (all first-diagonal triangles, then all second) is load-bearing:
+  manifold argmin tie-breaking depends on it, and the Pallas kernel
+  replicates it band by band."""
+  rr, cc = z.shape
+  dtype = z.dtype
+  xs = x0 + jnp.arange(cc, dtype=dtype) * dx
+  ys = y0 + jnp.arange(rr, dtype=dtype) * dy
+  x0g = xs[None, :-1].repeat(rr - 1, 0)
+  x1g = xs[None, 1:].repeat(rr - 1, 0)
+  y0g = ys[:-1, None].repeat(cc - 1, 1)
+  y1g = ys[1:, None].repeat(cc - 1, 1)
+  z00, z01 = z[:-1, :-1], z[:-1, 1:]
+  z10, z11 = z[1:, :-1], z[1:, 1:]
 
   def pt(x, y, zz):
     return jnp.stack([x, y, zz], axis=-1).reshape(-1, 3)
 
-  p00, p01, p10, p11 = pt(x0, y0, z00), pt(x1, y0, z01), pt(x0, y1, z10), pt(x1, y1, z11)
-  # two triangles per cell (mj splits along the (00,11) diagonal)
-  tris = jnp.concatenate(
+  p00, p01 = pt(x0g, y0g, z00), pt(x1g, y0g, z01)
+  p10, p11 = pt(x0g, y1g, z10), pt(x1g, y1g, z11)
+  # two triangles per cell (mj splits along the (00, 11) diagonal)
+  return jnp.concatenate(
       [
           jnp.stack([p00, p01, p11], axis=1),
           jnp.stack([p00, p11, p10], axis=1),
       ]
-  )  # (T, 3, 3) local
-  tris_w = pos1[None, None, :] + jnp.einsum("tkd,xd->tkx", tris, mat1)
-  return tris_w
+  )
 
 
 def _closest_on_triangle(a, b, c, p):
@@ -119,10 +137,11 @@ def _closest_on_triangle(a, b, c, p):
 
 
 def _select4(dist, pos, normal, dtype):
-  """Top-4 distinct contacts by penetration (suppress near-duplicates)."""
+  """Top-4 distinct contacts by penetration (suppress near-duplicates);
+  returns raw normals — callers build frames."""
   chosen_d, chosen_p, chosen_n = [], [], []
   d_work = dist
-  for k in range(4):
+  for _ in range(4):
     i = jnp.argmin(d_work)
     di = d_work[i]
     ok = jnp.isfinite(di)
@@ -134,30 +153,7 @@ def _select4(dist, pos, normal, dtype):
     # suppress near-duplicates of the chosen point
     near = jnp.sum((pos - pi[None]) ** 2, axis=1) < 1e-10
     d_work = jnp.where(near, jnp.inf, d_work)
-  return (
-      jnp.stack(chosen_d),
-      jnp.stack(chosen_p),
-      jnp.stack([math.make_frame(n) for n in chosen_n]),
-  )
-
-
-def hfield_sphere(
-    pos1, mat1, size1, pos2, mat2, size2, m: Model, hid: int, rbound: float
-):
-  dtype = pos1.dtype
-  r = size2[0]
-  hy, hx = _subgrid_shape(m, hid, rbound)
-  tris = _surface_triangles(m, hid, pos1, mat1, pos2, hy, hx)
-
-  up = mat1[:, 2]
-
-  def one(tri):
-    dist, n = _point_triangle(tri, pos2, r, up)
-    pos = pos2 - n * (r + 0.5 * dist)
-    return dist, pos, n
-
-  dist, pos, nrm = jax.vmap(one)(tris)
-  return _select4(dist, pos, nrm, dtype)
+  return jnp.stack(chosen_d), jnp.stack(chosen_p), jnp.stack(chosen_n)
 
 
 def _point_triangle(tri, p, r, up):
@@ -178,19 +174,12 @@ def _point_triangle(tri, p, r, up):
   return dist, n
 
 
-def hfield_capsule(
-    pos1, mat1, size1, pos2, mat2, size2, m: Model, hid: int, rbound: float
-):
-  dtype = pos1.dtype
-  r, h = size2[0], size2[1]
-  hy, hx = _subgrid_shape(m, hid, rbound)
-  tris = _surface_triangles(m, hid, pos1, mat1, pos2, hy, hx)
-  axis = mat2[:, 2]
-  a, b = pos2 - h * axis, pos2 + h * axis
-
-  def one(tri):
-    # closest point between segment and triangle: sample closest to both ends
-    # plus the segment point nearest the triangle plane
+def _segment_triangle(tri, a, b, r, up, has_axis: bool):
+  """Capsule segment (a, b) vs one triangle (a == b degenerates to the
+  sphere test); local frame, up = +z."""
+  if has_axis:
+    # closest point between segment and triangle: sample closest to both
+    # ends plus the segment point nearest the triangle plane
     c1 = _closest_on_triangle(tri[0], tri[1], tri[2], a)
     c2 = _closest_on_triangle(tri[0], tri[1], tri[2], b)
     s1 = math.closest_segment_point(a, b, c1)
@@ -199,28 +188,145 @@ def hfield_capsule(
     c2b = _closest_on_triangle(tri[0], tri[1], tri[2], s2)
     d1 = jnp.sum((s1 - c1b) ** 2)
     d2 = jnp.sum((s2 - c2b) ** 2)
-    use1 = d1 <= d2
-    s = jnp.where(use1, s1, s2)
-    dist, n = _point_triangle(tri, s, r, mat1[:, 2])
-    pos = s - n * (r + 0.5 * dist)
-    return dist, pos, n
+    s = jnp.where(d1 <= d2, s1, s2)
+  else:
+    s = a
+  dist, n = _point_triangle(tri, s, r, up)
+  pos = s - n * (r + 0.5 * dist)
+  return dist, pos, n
+
+
+def _manifold_jnp(zwin, origin, a, b, r, dx: float, dy: float,
+                  has_axis: bool):
+  """jnp reference manifold: build local triangles, test each, select 4."""
+  dtype = zwin.dtype
+  tris = _local_triangles(zwin, origin[0], origin[1], dx, dy)
+  up = jnp.array([0.0, 0.0, 1.0], dtype)
+
+  def one(tri):
+    return _segment_triangle(tri, a, b, r, up, has_axis)
 
   dist, pos, nrm = jax.vmap(one)(tris)
   return _select4(dist, pos, nrm, dtype)
+
+
+def _kernel_enabled(hy: int, hx: int, dtype) -> bool:
+  """Trace-time gate for the Pallas hfield kernel
+  (MJTPU_PALLAS_HFIELD=auto|1|0), mirroring collision_convex's SAT gate."""
+  knob = os.environ.get("MJTPU_PALLAS_HFIELD", "auto")
+  if knob == "0":
+    return False
+  if dtype == jnp.float64:
+    return False  # Mosaic has no f64; parity suite exercises via knob=1 f32
+  from mjtpu.ops import hfield as hf_mod
+
+  if hf_mod.hfield_vmem_bytes(hy, hx) > 10 * 2**20:
+    return False
+  try:
+    backend = jax.default_backend()
+  except RuntimeError:  # pragma: no cover
+    return False
+  return backend == "tpu" or knob == "1"
+
+
+def _surface_manifold(zwin, origin, a, b, r, hy: int, hx: int, dx: float,
+                      dy: float, has_axis: bool):
+  """Per-pair surface manifold; under vmap the whole batch runs in the
+  Pallas kernel (mjtpu/ops/hfield.py) through the same two-level
+  custom_vmap seam as collision_convex._sat_winners: level one covers the
+  pair batch, level two flattens (envs, pairs) into one kernel batch.
+  Differentiated traces use the jnp path (custom_vmap has no AD rules)."""
+  if get_diff_config() is not None or not _kernel_enabled(hy, hx,
+                                                          zwin.dtype):
+    return _manifold_jnp(zwin, origin, a, b, r, dx, dy, has_axis)
+
+  from mjtpu.ops import hfield as hf_mod
+
+  try:
+    interpret = jax.default_backend() != "tpu"
+  except RuntimeError:  # pragma: no cover
+    interpret = True
+
+  @jax.custom_batching.custom_vmap
+  def _batched(zw, org, aa, bb, rr):
+    return hf_mod.manifold_batch(zw, org, aa, bb, rr, hy, hx, dx, dy,
+                                 has_axis, interpret=interpret)
+
+  @_batched.def_vmap
+  def _batched_vmap(axis_size, in_batched, zw, org, aa, bb, rr):
+    del axis_size
+    assert all(in_batched), "env batch must cover all operands"
+    nb, npair = zw.shape[:2]
+    flat = lambda x: x.reshape((nb * npair,) + x.shape[2:])
+    dist, pos, nrm = _batched(flat(zw), flat(org), flat(aa), flat(bb),
+                              flat(rr))
+    unflat = lambda x: x.reshape((nb, npair) + x.shape[1:])
+    return (unflat(dist), unflat(pos), unflat(nrm)), (True, True, True)
+
+  @jax.custom_batching.custom_vmap
+  def _per_pair(zw, org, aa, bb, rr):
+    return _manifold_jnp(zw, org, aa, bb, rr, dx, dy, has_axis)
+
+  @_per_pair.def_vmap
+  def _per_pair_vmap(axis_size, in_batched, zw, org, aa, bb, rr):
+    if not all(in_batched):
+      bc = lambda x, batched: x if batched else jnp.broadcast_to(
+          x, (axis_size,) + x.shape)
+      zw, org, aa, bb, rr = (bc(x, bt) for x, bt in
+                             zip((zw, org, aa, bb, rr), in_batched))
+    dist, pos, nrm = _batched(zw, org, aa, bb, rr)
+    return (dist, pos, nrm), (True, True, True)
+
+  return _per_pair(zwin, origin, a, b, r)
+
+
+def _hfield_object(pos1, mat1, pos2, mat2, size2, m: Model, hid: int,
+                   rbound: float, has_axis: bool):
+  """Shared sphere/capsule path: local-frame manifold + world mapping."""
+  dtype = pos1.dtype
+  hy, hx = _subgrid_shape(m, hid, rbound)
+  _, _, _, _, _, _, dx, dy = _grid_consts(m, hid)
+  lc = mat1.T @ (pos2 - pos1)
+  if has_axis:
+    axis_l = mat1.T @ (mat2 @ jnp.array([0.0, 0.0, 1.0], dtype))
+    h = size2[1]
+    a, b = lc - h * axis_l, lc + h * axis_l
+  else:
+    a = b = lc
+  zwin, x0, y0 = _height_window(m, hid, lc, hy, hx)
+  origin = jnp.stack([x0, y0])
+  dist4, pos_l, n_l = _surface_manifold(
+      zwin, origin, a, b, size2[0], hy, hx, dx, dy, has_axis)
+  pos_w = pos1[None, :] + pos_l @ mat1.T
+  n_w = n_l @ mat1.T
+  frame4 = jnp.stack([math.make_frame(n) for n in n_w])
+  return dist4, pos_w, frame4
+
+
+def hfield_sphere(
+    pos1, mat1, size1, pos2, mat2, size2, m: Model, hid: int, rbound: float
+):
+  return _hfield_object(pos1, mat1, pos2, mat2, size2, m, hid, rbound,
+                        has_axis=False)
+
+
+def hfield_capsule(
+    pos1, mat1, size1, pos2, mat2, size2, m: Model, hid: int, rbound: float
+):
+  return _hfield_object(pos1, mat1, pos2, mat2, size2, m, hid, rbound,
+                        has_axis=True)
 
 
 def hfield_convex(
     pos1, mat1, size1, pos2, mat2, size2, m: Model, hid: int, hull2: ConvexMesh
 ):
   """Convex hull vs terrain: per-vertex penetration against the local
-  surface triangle (the hfield analog of plane_convex's deepest-4 verts)."""
+  surface triangle (the hfield analog of plane_convex's deepest-4 verts).
+  Stays in XLA: the workload is a per-vertex bilinear gather (no (T, B)
+  triangle tensors are materialized), so there is nothing for a Pallas
+  kernel to save — see PERFORMANCE.md's narrowphase closure note."""
   dtype = pos1.dtype
-  nrow, ncol = int(m.hfield_nrow[hid]), int(m.hfield_ncol[hid])
-  size = m.hfield_size[hid]
-  sx, sy, ztop = float(size[0]), float(size[1]), float(size[2])
-  adr = int(m.hfield_adr[hid])
-  dx = 2.0 * sx / max(1, ncol - 1)
-  dy = 2.0 * sy / max(1, nrow - 1)
+  nrow, ncol, sx, sy, ztop, adr, dx, dy = _grid_consts(m, hid)
 
   verts_w = pos2 + jnp.asarray(hull2.vert, dtype=dtype) @ mat2.T  # (nv, 3)
   verts_l = (verts_w - pos1[None]) @ mat1  # hfield-local

@@ -143,16 +143,18 @@ def run_arm(tag, model, solver, pcg, chunks, batch, nsteps, settle):
   # the ONLY fetch, after the final timed block; a tunnel fault here must
   # not discard the timed data (a B4096 arm died on RESOURCE_EXHAUSTED in
   # this fetch) — report finite=None ("unverified") instead
+  ok, nres = None, None
   try:
     ok = bool(jnp.isfinite(parts[0].qpos[:1024]).all())
+    nres = int(parts[0].nreset[:1024].sum())
   except Exception as e:  # noqa: BLE001 — tunnel faults vary
     print(f"## finite fetch failed: {type(e).__name__}", file=sys.stderr,
           flush=True)
-    ok = None
   mark("finite fetch done")
   row = {"tag": tag, "nv": mjm.nv, "batch": batch, "chunks": len(parts),
          "settle": settle, "nsteps": done, "compile_s": round(compile_s, 2),
          "steps_per_sec": round(float(np.median(rates)), 1), "finite": ok,
+         "reset_count": nres,
          "protocol": "settled,subproc-isolated",
          "device": jax.devices()[0].device_kind}
   print(json.dumps(row), flush=True)
@@ -163,7 +165,7 @@ def main():
   ap.add_argument("--arm", default="")
   ap.add_argument("--settle", type=int, default=600)
   ap.add_argument("--out", default=os.path.join(
-      _REPO, "benchmarks", "results_r4.jsonl"))
+      _REPO, "benchmarks", "results_r5.jsonl"))
   args = ap.parse_args()
 
   if args.arm:

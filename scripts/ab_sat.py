@@ -117,8 +117,15 @@ def run_arm(tag, sat, batch, nsteps, settle):
     rates.append(batch * block / el)
     done += block
 
-  ok = bool(jnp.isfinite(d.qpos).all())
-  ncon = int(jnp.sum(d.contact.dist[0] < 0))
+  # guarded fetches: a tunnel fault here must NOT discard the timed rows
+  # (measurement-integrity protocol, CLAUDE.md) — report unverified instead
+  try:
+    ok = bool(jnp.isfinite(d.qpos).all())
+    ncon = int(jnp.sum(d.contact.dist[0] < 0))
+  except Exception as e:  # noqa: BLE001 — tunnel faults vary
+    print(f"# post-run fetch faulted ({e}); rows stand unverified",
+          file=sys.stderr, flush=True)
+    ok, ncon = None, None
   row = {"tag": tag, "nv": mjm.nv, "batch": batch, "settle": settle,
          "nsteps": done, "compile_s": round(compile_s, 2),
          "steps_per_sec": round(float(np.median(rates)), 1), "finite": ok,

@@ -9,7 +9,7 @@ section can quote chunked numbers instead of "turns over".
 
 Each (B, K) cell runs bench.py in a subprocess (its health-check/retry/
 deadline harness, donation, and roofline columns come for free) and tags
-the JSON row into benchmarks/results_r4.jsonl.
+the JSON row into benchmarks/results_r5.jsonl.
 
 Run on the TPU (leave PYTHONPATH alone):
   python scripts/heavy_humanoid_scaling.py
@@ -17,6 +17,7 @@ Run on the TPU (leave PYTHONPATH alone):
 
 import json
 import os
+import re
 import subprocess
 import sys
 
@@ -33,8 +34,17 @@ CELLS = [
 ]
 
 
+def _actual_batch(row):
+  """Batch the row was actually measured at: bench.py's fallback ladder can
+  silently change it (last resort forces B=1024), so trust the metric name,
+  not the requested cell."""
+  metric = row.get("metric", "")
+  m = re.search(r"_B(\d+)$", metric)
+  return int(m.group(1)) if m else None
+
+
 def main():
-  out = os.path.join(_REPO, "benchmarks", "results_r4.jsonl")
+  out = os.path.join(_REPO, "benchmarks", "results_r5.jsonl")
   for batch, chunks in CELLS:
     env = dict(
         os.environ,
@@ -60,6 +70,9 @@ def main():
     lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
     if lines:
       row = json.loads(lines[-1])
+      actual = _actual_batch(row)
+      if actual is not None and actual != batch:
+        tag = f"humanoid_heavy/B{actual}/K{chunks}_fallback_from_B{batch}"
       row["tag"] = tag
       print(json.dumps(row), flush=True)
       with open(out, "a") as f:

@@ -47,13 +47,23 @@ def main():
     axes = [axes]
   for ax, (env, rows) in zip(axes, runs):
     steps = [r["env_steps"] / 1e6 for r in rows]
-    rew = [r["mean_reward"] for r in rows]
+    # prefer episode return (the metric with headroom; r5) over the
+    # near-ceiling per-step mean reward of older artifacts
+    has_ep = any(r.get("episode_return") is not None for r in rows)
+    if has_ep:
+      pairs = [(s, r["episode_return"]) for s, r in zip(steps, rows)
+               if r.get("episode_return") is not None]
+      steps, rew = zip(*pairs)
+      metric = "episode return"
+    else:
+      rew = [r["mean_reward"] for r in rows]
+      metric = "mean rollout reward"
     ax.set_facecolor(SURFACE)
     ax.plot(steps, rew, color=SERIES, linewidth=2, solid_capstyle="round")
-    ax.set_title(f"PPO on {env} — mean rollout reward", color=TEXT,
+    ax.set_title(f"PPO on {env} — {metric}", color=TEXT,
                  fontsize=11, loc="left")
     ax.set_xlabel("env steps (millions)", color=TEXT_2, fontsize=9)
-    ax.set_ylabel("mean reward", color=TEXT_2, fontsize=9)
+    ax.set_ylabel(metric, color=TEXT_2, fontsize=9)
     ax.grid(True, color=GRID, linewidth=0.7)
     ax.tick_params(colors=TEXT_2, labelsize=8)
     for spine in ax.spines.values():

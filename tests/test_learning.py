@@ -40,15 +40,56 @@ def test_ppo_cartpole_learns():
   # run the example in its native f32 (as `python examples/train_ppo.py`
   # does): the parity conftest's x64 mode changes the optimizer/dynamics
   # numerics the calibration below was made under
+  prev_x64 = jax.config.jax_enable_x64
   jax.config.update("jax_enable_x64", False)
   try:
     learner = mod.main(common + ["--lr", "1e-2"])
     control = mod.main(common + ["--lr", "1e-9"])
   finally:
-    jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_enable_x64", prev_x64)
   lm = statistics.mean(learner[-10:])
   cm = statistics.mean(control[-10:])
   assert lm > cm + 0.03, (
       f"no learning: learner last-10 mean reward {lm:.4f} vs lr~0 control "
       f"{cm:.4f}; learner curve tail={[round(r, 3) for r in learner[-20:]]}"
   )
+
+
+def _episode_returns(path):
+  import json
+
+  rows = [json.loads(ln) for ln in open(path) if ln.strip()]
+  return [r["episode_return"] for r in rows if r["episode_return"] is not None]
+
+
+@pytest.mark.integration
+def test_ppo_hopper_episode_return_improves(tmp_path):
+  """Same causal design on hopper, measured in EPISODE RETURN (the metric
+  with real headroom: a random policy falls in ~20 steps, a learned one
+  survives toward the 200-step limit — r4's near-ceiling per-step
+  mean_reward could not show learning).  Learner final episode return must
+  beat the lr~0 control AND >= 2x its own initial."""
+  import jax
+
+  mod = _load_train_ppo()
+  lpath, cpath = tmp_path / "l.jsonl", tmp_path / "c.jsonl"
+  common = ["--env", "hopper", "--num-envs", "256", "--rollout", "32",
+            "--iters", "120", "--seed", "0", "--episode-length", "200"]
+  prev_x64 = jax.config.jax_enable_x64
+  jax.config.update("jax_enable_x64", False)
+  try:
+    mod.main(common + ["--lr", "3e-4", "--log-jsonl", str(lpath)])
+    mod.main(common + ["--lr", "1e-9", "--log-jsonl", str(cpath)])
+  finally:
+    jax.config.update("jax_enable_x64", prev_x64)
+  lr = _episode_returns(lpath)
+  cr = _episode_returns(cpath)
+  assert lr and cr, "no completed episodes recorded"
+  l_init = statistics.mean(lr[:5])
+  l_final = statistics.mean(lr[-5:])
+  c_final = statistics.mean(cr[-5:])
+  assert l_final > c_final * 1.3, (
+      f"learner final ep return {l_final:.1f} not past lr~0 control "
+      f"{c_final:.1f}")
+  assert l_final >= 2.0 * l_init, (
+      f"learner ep return {l_init:.1f} -> {l_final:.1f}: no 2x improvement")
