@@ -254,8 +254,13 @@ def _surface_manifold(zwin, origin, a, b, r, hy: int, hx: int, dx: float,
 
   @_batched.def_vmap
   def _batched_vmap(axis_size, in_batched, zw, org, aa, bb, rr):
-    del axis_size
-    assert all(in_batched), "env batch must cover all operands"
+    # the radius (model constant) is typically NOT env-batched; broadcast
+    # whatever isn't so the flatten below is uniform
+    if not all(in_batched):
+      bc = lambda x, batched: x if batched else jnp.broadcast_to(
+          x, (axis_size,) + x.shape)
+      zw, org, aa, bb, rr = (bc(x, bt) for x, bt in
+                             zip((zw, org, aa, bb, rr), in_batched))
     nb, npair = zw.shape[:2]
     flat = lambda x: x.reshape((nb * npair,) + x.shape[2:])
     dist, pos, nrm = _batched(flat(zw), flat(org), flat(aa), flat(bb),
