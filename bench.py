@@ -166,15 +166,19 @@ def _worker(result_path, deadline):
       )
   )
 
-  # roofline accounting (free: the executable is already compiled/cached)
-  from mjtpu import perf
-
-  try:
-    compiled = stepper._jit.lower(m, batch_d[0]).compile()
-  except Exception:  # noqa: BLE001 — keep the bench alive without roofline
-    compiled = None
+  # roofline accounting is deferred until AFTER the timed blocks: the
+  # lower().compile() call can take ~60s on a cache-cold config, and in r5
+  # it ate the whole measurement window when placed here (run recorded
+  # zero blocks).  record() reads this mutable cell once it's filled.
+  _roofline = {"compiled": None}
   dispatch_batch = batch // chunks
   device_kind = jax.devices()[0].device_kind
+
+  def compute_roofline():
+    try:
+      _roofline["compiled"] = stepper._jit.lower(m, batch_d[0]).compile()
+    except Exception:  # noqa: BLE001 — keep the bench alive w/o roofline
+      pass
 
   def record(steps_per_sec, steps_measured, finite=None, reset_count=None,
              reset_slice=None):
@@ -184,10 +188,12 @@ def _worker(result_path, deadline):
         "unit": "env-steps/s",
         "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 4),
     }
-    if compiled is not None:
+    if _roofline["compiled"] is not None:
+      from mjtpu import perf
+
       result.update(
-          perf.roofline(compiled, steps_per_sec, dispatch_batch, device_kind)
-      )
+          perf.roofline(_roofline["compiled"], steps_per_sec,
+                        dispatch_batch, device_kind))
     if finite is not None:
       result["finite"] = finite
     if reset_count is not None:
@@ -229,6 +235,12 @@ def _worker(result_path, deadline):
     record(float(np.median(rates)), done)
 
   _log(f"worker finished: {done} measured steps in {len(rates)} blocks")
+
+  # roofline columns (post-measurement so a slow lowering can't eat the
+  # measurement window); re-record so the final row carries them
+  if rates:
+    compute_roofline()
+    record(float(np.median(rates)), done)
 
   # integrity check, AFTER all results are on disk: fetch the finite
   # fraction of a <=64k env slice (device->host fetches at B>=128k hit

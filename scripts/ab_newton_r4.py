@@ -140,23 +140,25 @@ def run_arm(tag, model, solver, pcg, chunks, batch, nsteps, settle):
     done += block
 
   mark("timed blocks done")
+  row = {"tag": tag, "nv": mjm.nv, "batch": batch, "chunks": len(parts),
+         "settle": settle, "nsteps": done, "compile_s": round(compile_s, 2),
+         "steps_per_sec": round(float(np.median(rates)), 1), "finite": None,
+         "reset_count": None,
+         "protocol": "settled,subproc-isolated",
+         "device": jax.devices()[0].device_kind}
+  # print the timed row BEFORE the fetch: on this runtime the fetch can
+  # HANG (not just fault), and a parent timeout must never discard the
+  # timed data (CLAUDE.md protocol; consumers take the LAST json line)
+  print(json.dumps(row), flush=True)
   # the ONLY fetch, after the final timed block; a tunnel fault here must
-  # not discard the timed data (a B4096 arm died on RESOURCE_EXHAUSTED in
-  # this fetch) — report finite=None ("unverified") instead
-  ok, nres = None, None
+  # not discard the timed data — report finite=None ("unverified") instead
   try:
-    ok = bool(jnp.isfinite(parts[0].qpos[:1024]).all())
-    nres = int(parts[0].nreset[:1024].sum())
+    row["finite"] = bool(jnp.isfinite(parts[0].qpos[:1024]).all())
+    row["reset_count"] = int(parts[0].nreset[:1024].sum())
   except Exception as e:  # noqa: BLE001 — tunnel faults vary
     print(f"## finite fetch failed: {type(e).__name__}", file=sys.stderr,
           flush=True)
   mark("finite fetch done")
-  row = {"tag": tag, "nv": mjm.nv, "batch": batch, "chunks": len(parts),
-         "settle": settle, "nsteps": done, "compile_s": round(compile_s, 2),
-         "steps_per_sec": round(float(np.median(rates)), 1), "finite": ok,
-         "reset_count": nres,
-         "protocol": "settled,subproc-isolated",
-         "device": jax.devices()[0].device_kind}
   print(json.dumps(row), flush=True)
 
 
