@@ -26,6 +26,10 @@ def load(path):
   rows = [json.loads(ln) for ln in pathlib.Path(path).read_text().splitlines()
           if ln.strip()]
   env = rows[0]["env"] if rows else pathlib.Path(path).stem
+  stem = pathlib.Path(path).stem
+  # disambiguate panels whose env name repeats (e.g. the lr~0 control run)
+  if "control" in stem:
+    env += " (lr~0 control)"
   return env, rows
 
 
