@@ -55,21 +55,30 @@ def _health_check():
   import jax
   import jax.numpy as jnp
 
-  for attempt in range(3):
+  # a SLOW success (>15s for a 256x256 matmul) means the runtime is in
+  # the degraded state that follows a faulted fetch — measuring through
+  # it produced a 170s-for-zero-blocks run in r5 — so slow checks also
+  # wait and retry until a fast one lands (or retries run out)
+  for attempt in range(4):
     try:
       t0 = time.perf_counter()
       x = jnp.ones((256, 256), jnp.float32)
       jax.block_until_ready(x @ x)
-      _log(f"health check ok ({time.perf_counter() - t0:.2f}s, "
-           f"device={jax.devices()[0].device_kind})")
-      return
+      took = time.perf_counter() - t0
+      if took <= 15.0 or attempt == 3:
+        _log(f"health check ok ({took:.2f}s, "
+             f"device={jax.devices()[0].device_kind})")
+        return
+      _log(f"health check SLOW ({took:.1f}s) — degraded runtime; "
+           "waiting 45s for recovery")
+      time.sleep(45)
     except Exception as e:  # noqa: BLE001 — runtime faults vary by plugin
       _log(f"health check attempt {attempt + 1} failed: {e}; retrying in 20s")
       time.sleep(20)
-  raise RuntimeError("TPU health check failed 3 times")
+  raise RuntimeError("TPU health check failed 4 times")
 
 
-def _worker(result_path, deadline):
+def _worker(result_path):
   import jax
   import jax.numpy as jnp
   import numpy as np
@@ -85,6 +94,16 @@ def _worker(result_path, deadline):
   model_name = os.environ.get("MJTPU_BENCH_MODEL", "humanoid_bench")
 
   _health_check()
+  # the measurement deadline starts AFTER a healthy check: waiting out a
+  # wedged runtime (up to ~3 min) must not consume the measurement window.
+  # The marker tells the parent to start ITS deadline clock now too.
+  deadline = time.perf_counter() + float(
+      os.environ.get("_MJTPU_BENCH_DEADLINE", "240"))
+  try:
+    with open(result_path + ".health", "w") as fh:
+      fh.write(str(time.time()))
+  except OSError:
+    pass
 
   import mujoco
 
@@ -146,13 +165,13 @@ def _worker(result_path, deadline):
     batch_d = run(batch_d, nwarm - 20)
   _log(f"warmup done: {time.perf_counter() - t0:.1f}s total")
 
-  # pre-compile the end-of-run finite + reset-count check now (while nothing
-  # is on the clock) so the post-measurement check is a bare dispatch + an
-  # 8-byte fetch; no host fetch happens here (block_until_ready only).
-  # stats = [fraction of slice envs with finite qpos, sum of slice nreset
-  # counters] — the counter proves no env NaN-cycled behind _check_state's
-  # auto-reset during the timed blocks (reference forward.py:44-59 has no
-  # such accounting; its auto-reset could mask divergence).
+  # end-of-run finite + reset-count check: stats = [fraction of slice envs
+  # with finite qpos, sum of slice nreset counters] — the counter proves
+  # no env NaN-cycled behind _check_state's auto-reset during the timed
+  # blocks (reference forward.py:44-59 has no such accounting; its
+  # auto-reset could mask divergence).  Compiled lazily AFTER the timed
+  # blocks: on a degraded runtime even this tiny dispatch can take ~40s,
+  # and placed here it once ate the whole measurement window (r5).
   def _stats(q, n):
     return jnp.stack(
         [jnp.isfinite(q).all(axis=1).mean(), n.sum().astype(q.dtype)]
@@ -160,11 +179,6 @@ def _worker(result_path, deadline):
 
   stats_fn = jax.jit(_stats)
   check_slice = min(65536, batch_d[0].qpos.shape[0])
-  jax.block_until_ready(
-      stats_fn(
-          batch_d[0].qpos[:check_slice], batch_d[0].nreset[:check_slice]
-      )
-  )
 
   # roofline accounting is deferred until AFTER the timed blocks: the
   # lower().compile() call can take ~60s on a cache-cold config, and in r5
@@ -221,8 +235,16 @@ def _worker(result_path, deadline):
   rates = []
   done = 0
   while done < nsteps:
-    n = min(100, nsteps - done)
-    if time.perf_counter() > deadline - 5:
+    # the FIRST block is small so a result row lands on disk within
+    # seconds even when the runtime is degraded (~70k steps/s sync
+    # dispatch): the parent's no-result kill at deadline+20 then can't
+    # discard the run (r5: a degraded 100-step first block took >90s
+    # and the run recorded nothing)
+    n = min(10 if not rates else 100, nsteps - done)
+    # the first (tiny) block always runs, deadline or not: a row on disk
+    # is what keeps the parent from discarding the run, and 10 steps cost
+    # <20s even on a fully degraded runtime
+    if rates and time.perf_counter() > deadline - 5:
       _log("worker deadline reached; keeping last recorded figure")
       break
     t0 = time.perf_counter()
@@ -251,6 +273,14 @@ def _worker(result_path, deadline):
   # fetches take ~0.1s on good days, ~100s on bad ones.  Every result is
   # already flushed to disk, so a wedge here costs nothing — the parent's
   # subprocess timeout (deadline+20) is the backstop.
+  if batch >= 131072:
+    # at B>=128k residency every device->host fetch faults or hangs
+    # (CLAUDE.md, measured across r4/r5) — don't burn 30-60s discovering
+    # it again each run; the parent's adjacent B=65536 verification run
+    # carries finiteness for the headline
+    _log("finite check: skipped at B>=128k residency (adjacent-batch "
+         "verification covers it)")
+    return
   _log("finite check: fetching (main thread; parent timeout is backstop)")
   try:
     q = batch_d[0].qpos  # one chunk (chunks=1: the full batch)
@@ -286,44 +316,65 @@ def _worker(result_path, deadline):
 
 
 def _read_last_result(path):
+  """Last PARSEABLE result line: a worker killed mid-write can leave a
+  partial final line, which must not hide the complete rows above it."""
   try:
     with open(path) as fh:
       lines = [ln for ln in fh.read().splitlines() if ln.strip()]
-    return json.loads(lines[-1]) if lines else None
-  except (OSError, json.JSONDecodeError):
+  except OSError:
     return None
+  for ln in reversed(lines):
+    try:
+      return json.loads(ln)
+    except json.JSONDecodeError:
+      continue
+  return None
 
 
 def _run_worker(result_path, overrides, deadline, fetch_window, tag):
-  """Spawns one measurement worker and polls it against two kill points:
-  deadline+20 while NO result line exists on disk (a worker wedged in
-  compile/dispatch must not eat the fallbacks' budget), extended into the
-  fetch window once a measurement has been recorded (the post-measurement
-  finite-check fetch is 100-900s on a bad tunnel day and is worth waiting
-  for — every timed row is already safe on disk)."""
-  if os.path.exists(result_path):
-    os.remove(result_path)
+  """Spawns one measurement worker and polls it against three kill points:
+
+  * no health marker yet: spawn + 210s — the worker is importing jax /
+    waiting out a wedged runtime (its own health check retries slow
+    checks for up to ~3 min); this wait must not count against the
+    measurement deadline, or a recovering chip dooms every run;
+  * marker but no result line: marker + deadline + 20 — a worker wedged
+    in compile/dispatch must not eat the fallbacks' budget;
+  * result on disk: marker + deadline + fetch_window — the
+    post-measurement finite-check fetch is 100-900s on a bad tunnel day
+    and is worth waiting for (every timed row is already safe)."""
+  health_path = result_path + ".health"
+  for p in (result_path, health_path):
+    if os.path.exists(p):
+      os.remove(p)
   env = dict(os.environ, **overrides)
   env["_MJTPU_BENCH_DEADLINE"] = str(deadline)
   _log(f"{tag}: overrides={overrides or 'none'} "
        f"deadline={deadline:.0f}s fetch_window={fetch_window:.0f}s")
   t0 = time.perf_counter()
+  healthy_at = None
+  rc = None
   proc = subprocess.Popen(
       [sys.executable, os.path.abspath(__file__), "--worker", result_path],
       env=env, cwd=_REPO,
   )
-  rc = None
   while True:
     rc = proc.poll()
     if rc is not None:
       break
-    now = time.perf_counter() - t0
-    has_result = _read_last_result(result_path) is not None
-    limit = deadline + fetch_window if has_result else deadline + 20.0
+    now = time.perf_counter()
+    if healthy_at is None and os.path.exists(health_path):
+      healthy_at = now
+    if healthy_at is None:
+      limit = t0 + 210.0
+    else:
+      has_result = _read_last_result(result_path) is not None
+      limit = healthy_at + deadline + (fetch_window if has_result else 20.0)
     if now > limit:
       proc.kill()
       proc.wait()
-      rc = "timeout-with-result" if has_result else "timeout"
+      rc = ("timeout-with-result"
+            if _read_last_result(result_path) is not None else "timeout")
       break
     time.sleep(1.0)
   _log(f"{tag}: worker rc={rc} ({time.perf_counter() - t0:.0f}s)")
@@ -422,7 +473,10 @@ def main():
     # most of the remaining budget as fetch window (100-900s on bad days)
     overrides = {"MJTPU_BENCH_BATCH": "65536", "MJTPU_BENCH_STEPS": "100",
                  "MJTPU_BENCH_WARMUP": "20", "MJTPU_BENCH_RUNS": "1"}
-    deadline = max(40.0, min(90.0, remaining() - 60))
+    # moderate deadline (model build ~30s + cached compile + 120 steps):
+    # the rest of the remaining budget goes to the fetch window — the
+    # fetch IS the point of this run and can take minutes on bad days
+    deadline = max(60.0, min(90.0, remaining() - 90))
     res = _run_worker(f"{base}_verify.jsonl", overrides, deadline,
                       max(30.0, remaining() - deadline - 5), "finite-verify")
     if res is not None and res.get("finite") is not None:
@@ -438,8 +492,6 @@ def main():
 
 if __name__ == "__main__":
   if len(sys.argv) > 1 and sys.argv[1] == "--worker":
-    deadline = time.perf_counter() + float(
-        os.environ.get("_MJTPU_BENCH_DEADLINE", "240"))
-    _worker(sys.argv[2], deadline)
+    _worker(sys.argv[2])
   else:
     main()
