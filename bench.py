@@ -468,10 +468,13 @@ def main():
   # in-process fetch landed (B>=128k residency faults all fetches,
   # CLAUDE.md), verify with the same executable at B=65536 whose
   # end-of-run fetch works, and stamp the result into the headline JSON.
-  if out.get("finite") is not True and batch > 65536 and remaining() > 60:
+  if out.get("finite") is not True and batch > 32768 and remaining() > 60:
     # few steps: the point is the end-of-run fetch, not the rate — leave
-    # most of the remaining budget as fetch window (100-900s on bad days)
-    overrides = {"MJTPU_BENCH_BATCH": "65536", "MJTPU_BENCH_STEPS": "100",
+    # most of the remaining budget as fetch window (100-900s on bad days).
+    # Adjacent batch: 65536 for the >64k headline (the biggest batch whose
+    # fetch works), half-batch when 64k itself couldn't verify in-process
+    adj = 65536 if batch > 65536 else batch // 2
+    overrides = {"MJTPU_BENCH_BATCH": str(adj), "MJTPU_BENCH_STEPS": "100",
                  "MJTPU_BENCH_WARMUP": "20", "MJTPU_BENCH_RUNS": "1"}
     # moderate deadline (model build ~30s + cached compile + 120 steps):
     # the rest of the remaining budget goes to the fetch window — the
@@ -481,7 +484,7 @@ def main():
                       max(30.0, remaining() - deadline - 5), "finite-verify")
     if res is not None and res.get("finite") is not None:
       out["finite_adjacent"] = res["finite"]
-      out["finite_adjacent_batch"] = 65536
+      out["finite_adjacent_batch"] = adj
       if res.get("reset_count") is not None:
         out["reset_count_adjacent"] = res["reset_count"]
 
